@@ -1,0 +1,94 @@
+"""Tests for tokenization / segmentation kernels.
+
+N-gram semantics per CharacterNGramTokenizer.java:34-78 and
+NGramWrapperIterator.java:35-71; case-signature goldens from
+StringHelper.java:1815-1826; sub-phrases from StringHelper.java:2062-2082;
+left/right context goldens from PalladianNerTest.java:38-47.
+"""
+
+from palladian_spark.textproc.tokenize import (
+    char_edge_ngrams,
+    char_ngrams,
+    get_case_signature,
+    get_sub_phrases,
+    sentences,
+    tokenize,
+    word_tokens,
+    iter_word_ngrams,
+)
+from palladian_spark.textproc.taggers import Annotation, tag_urls
+
+
+def test_word_tokens_offsets():
+    text = "Mr. Smith visited the U.S.A. in 2009."
+    toks = word_tokens(text)
+    for t in toks:
+        assert text[t.start:t.end] == t.value
+    assert "U.S.A." in [t.value for t in toks]
+
+
+def test_tokenize_dollar_and_tags():
+    assert "$1.23" in tokenize("it costs $1.23 today")
+    assert "<b>" in tokenize("a <b>bold</b> move")
+
+
+def test_char_ngrams_plain():
+    # "word" 2..2 → wo, or, rd
+    assert char_ngrams("word", 2, 2) == ["wo", "or", "rd"]
+    # variable range, offset-major then length order
+    assert char_ngrams("abcd", 2, 3) == ["ab", "abc", "bc", "bcd", "cd"]
+
+
+def test_char_ngrams_padded():
+    # padding = (n-1) '#' each side; all-padding grams skipped
+    grams = char_ngrams("ab", 3, 3, padding=True)
+    assert grams == ["##a", "#ab", "ab#", "b##"]
+
+
+def test_word_ngrams():
+    grams = list(iter_word_ngrams("the quick brown", 1, 2))
+    assert grams == ["the", "the quick", "quick", "quick brown", "brown"]
+
+
+def test_edge_ngrams():
+    assert char_edge_ngrams("word", 3) == ["wor", "ord"]
+    assert char_edge_ngrams("word", 3, must_hit_left_edge=True) == ["wor"]
+    assert char_edge_ngrams("ab", 3) == []
+
+
+def test_case_signature():
+    assert get_case_signature("Hello") == "Aa"
+    assert get_case_signature("this is nice") == "a a a"
+    assert get_case_signature("SUPER 8") == "A 0"
+    assert get_case_signature("Super!? 8 Zorro") == "Aa- 0 Aa"
+
+
+def test_sub_phrases():
+    assert get_sub_phrases("quick brown fox") == [
+        "quick", "quick brown", "quick brown fox", "brown", "brown fox", "fox",
+    ]
+
+
+def test_sentences_basic():
+    text = "This is one sentence. And here is another! Is this the third?"
+    sents = sentences(text)
+    assert [s.value for s in sents] == [
+        "This is one sentence.", "And here is another!", "Is this the third?",
+    ]
+    for s in sents:
+        assert text[s.start:s.start + len(s.value)] == s.value
+
+
+def test_sentences_abbreviation_guard():
+    text = "Dr. Smith arrived at 5 pm. He was late."
+    sents = sentences(text)
+    assert len(sents) == 2
+    assert sents[0].value == "Dr. Smith arrived at 5 pm."
+
+
+def test_sentences_url_masking():
+    text = "Visit http://example.com/a.b for info. Then leave."
+    masks = [Annotation(a.start, a.value, a.tag) for a in tag_urls(text)]
+    sents = sentences(text, mask_spans=masks)
+    assert len(sents) == 2
+    assert sents[0].value == "Visit http://example.com/a.b for info."
