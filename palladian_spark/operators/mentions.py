@@ -1,0 +1,230 @@
+"""Mention-detection operators over a transcripts DataFrame.
+
+The hot path is ONE Arrow-batched ``mapInPandas`` stage per turn batch
+(tagging is embarrassingly parallel per turn — the reference processes each
+text independently, core/Tagger.java:25), with the NER model broadcast.
+No shuffle is required for extraction; the only exchanges in the pipeline
+are training aggregations and the final canonicalization.
+
+Relational forms of the rule-chain set operations are provided alongside
+(window de-nesting, gaps-and-islands adjacency merge, broadcast-join
+dictionary switch) so they compose with arbitrary mention DataFrames and
+stay JVM-side where the data is already exploded.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import (
+    DoubleType, IntegerType, StringType, StructField, StructType,
+)
+
+from palladian_spark.ner.model import NerModel
+from palladian_spark.ner.tag import get_annotations
+from palladian_spark.textproc.taggers import (
+    Annotation, remove_nested, tag_candidates, tag_dates, tag_smileys, tag_urls,
+)
+from palladian_spark.textproc.tokenize import sentences as split_sentences
+
+MENTION_SCHEMA = StructType([
+    StructField("conv_id", StringType()),
+    StructField("turn_idx", IntegerType()),
+    StructField("start", IntegerType()),
+    StructField("end", IntegerType()),
+    StructField("value", StringType()),
+    StructField("tag", StringType()),
+    StructField("conf", DoubleType()),
+])
+
+SENTENCE_SCHEMA = StructType([
+    StructField("conv_id", StringType()),
+    StructField("turn_idx", IntegerType()),
+    StructField("sent_idx", IntegerType()),
+    StructField("sent_start", IntegerType()),
+    StructField("sentence", StringType()),
+])
+
+
+def repartition_salted(df: DataFrame, num_partitions: Optional[int] = None) -> DataFrame:
+    """Skew-aware repartition: hash on (conv_id, turn_idx) so a hot
+    conversation spreads across partitions.  Lossless for all turn-local
+    stages (mention extraction never needs cross-turn state — SURVEY.md §2.9)."""
+    cols = [F.xxhash64("conv_id", "turn_idx")]
+    if num_partitions:
+        return df.repartition(num_partitions, *cols)
+    return df.repartition(*cols)
+
+
+def _batch_tagger(tagger_fn):
+    """Wrap a text→[Annotation] kernel into a mapInPandas function."""
+    def run(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            out = {k: [] for k in
+                   ("conv_id", "turn_idx", "start", "end", "value", "tag", "conf")}
+            for conv_id, turn_idx, text in zip(
+                    pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                if text is None:
+                    continue
+                for ann in tagger_fn(text):
+                    scores = getattr(ann, "scores", None)
+                    out["conv_id"].append(conv_id)
+                    out["turn_idx"].append(turn_idx)
+                    out["start"].append(ann.start)
+                    out["end"].append(ann.start + len(ann.value))
+                    out["value"].append(ann.value)
+                    out["tag"].append(ann.tag)
+                    out["conf"].append(float(scores.get(ann.tag, 1.0)) if scores else 1.0)
+            yield pd.DataFrame(out)
+    return run
+
+
+def extract_mentions(transcripts: DataFrame, model: NerModel,
+                     tag_urls_too: bool = True,
+                     tag_dates_too: bool = True) -> DataFrame:
+    """The full NER chain (SURVEY.md §2.5 #1-#15) as one fused Arrow stage.
+
+    The model is shipped once per executor via a Spark broadcast; each Arrow
+    batch of turns yields a mention batch.  Output is the exploded long
+    format: one row per mention.
+    """
+    spark = transcripts.sparkSession
+    model_bc = spark.sparkContext.broadcast(model)
+
+    def kernel(text: str):
+        return get_annotations(text, model_bc.value,
+                               tag_urls_too=tag_urls_too,
+                               tag_dates_too=tag_dates_too)
+
+    return (transcripts
+            .select("conv_id", "turn_idx", "text")
+            .mapInPandas(_batch_tagger(kernel), MENTION_SCHEMA))
+
+
+def extract_candidates(transcripts: DataFrame) -> DataFrame:
+    """StringTagger-only candidate scan (SURVEY.md §2.3), tag=CANDIDATE."""
+    return (transcripts
+            .select("conv_id", "turn_idx", "text")
+            .mapInPandas(_batch_tagger(tag_candidates), MENTION_SCHEMA))
+
+
+def extract_regex_mentions(transcripts: DataFrame, kind: str) -> DataFrame:
+    """URL / date / smiley regex taggers as standalone stages."""
+    tagger = {"url": tag_urls, "date": tag_dates, "smiley": tag_smileys}[kind]
+    return (transcripts
+            .select("conv_id", "turn_idx", "text")
+            .mapInPandas(_batch_tagger(tagger), MENTION_SCHEMA))
+
+
+def split_sentences_df(transcripts: DataFrame, mask_entities: bool = True) -> DataFrame:
+    """Sentence segmentation per turn (PalladianSentenceDetector port):
+    URLs/dates/smileys are masked so their dots don't split sentences."""
+
+    def run(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            out = {k: [] for k in
+                   ("conv_id", "turn_idx", "sent_idx", "sent_start", "sentence")}
+            for conv_id, turn_idx, text in zip(
+                    pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                if text is None:
+                    continue
+                masks = None
+                if mask_entities:
+                    masks = tag_urls(text) + tag_dates(text) + tag_smileys(text)
+                for i, sent in enumerate(split_sentences(text, masks)):
+                    out["conv_id"].append(conv_id)
+                    out["turn_idx"].append(turn_idx)
+                    out["sent_idx"].append(i)
+                    out["sent_start"].append(sent.start)
+                    out["sentence"].append(sent.value)
+            yield pd.DataFrame(out)
+
+    return (transcripts
+            .select("conv_id", "turn_idx", "text")
+            .mapInPandas(run, SENTENCE_SCHEMA))
+
+
+# ---------------------------------------------------------------------------
+# relational operators over exploded mention tables
+# ---------------------------------------------------------------------------
+
+def remove_nested_df(mentions: DataFrame) -> DataFrame:
+    """De-nest intervals per turn (Annotations.java:43-56).
+
+    The sweep keeps a span iff it starts at/after the end of the last KEPT
+    span — sequential within a turn, so it runs as ``applyInPandas`` per
+    (conv_id, turn_idx) group (groups are sentence-sized; the shuffle is on
+    the natural key).  NOTE: a window running-max over *all* previous ends
+    is NOT equivalent when a dropped long span would otherwise shadow a
+    later short one.
+    """
+    schema = mentions.schema
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["start", "end"], ascending=[True, False])
+        keep = []
+        last_end = 0
+        for row in pdf.itertuples(index=False):
+            if row.start < last_end:
+                keep.append(False)
+            else:
+                keep.append(True)
+                last_end = row.end
+        return pdf[pd.Series(keep, index=pdf.index)]
+
+    return mentions.groupBy("conv_id", "turn_idx").applyInPandas(sweep, schema)
+
+
+def combine_adjacent_df(mentions: DataFrame, gap: int = 1) -> DataFrame:
+    """Merge adjacent same-tag mentions separated by exactly ``gap`` chars
+    (PalladianNer.java:573-601) — pure JVM gaps-and-islands: lag to flag
+    island starts, running sum for island ids, then one groupBy."""
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("start", F.desc("end"))
+    new_island = (
+        (F.lag("end").over(w).isNull())
+        | (F.col("start") != F.lag("end").over(w) + gap)
+        | (F.lower(F.col("tag")) != F.lower(F.lag("tag").over(w)))
+    ).cast("int")
+    df = (mentions
+          .where(F.lower(F.col("tag")) != "o")
+          .withColumn("_new", new_island)
+          .withColumn("_island", F.sum("_new").over(
+              w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (df.groupBy("conv_id", "turn_idx", "_island")
+            .agg(F.min("start").alias("start"),
+                 F.max("end").alias("end"),
+                 F.array_join(F.transform(
+                     F.array_sort(F.collect_list(F.struct("start", "value"))),
+                     lambda s: s["value"]), " ").alias("value"),
+                 F.first("tag").alias("tag"),
+                 F.max("conf").alias("conf"))
+            .drop("_island"))
+
+
+def switch_tag_with_dictionary_df(mentions: DataFrame,
+                                  entity_dict: DataFrame) -> DataFrame:
+    """Exact entity-dictionary hit overrides the tag (PalladianNer.java:515-543)
+    as a broadcast hash join on the surface form.  ``entity_dict`` columns:
+    (surface, concept)."""
+    dict_df = F.broadcast(entity_dict.select(
+        F.col("surface").alias("_surface"), F.col("concept").alias("_concept")))
+    return (mentions
+            .join(dict_df, mentions.value == dict_df._surface, "left")
+            .withColumn("tag", F.coalesce("_concept", "tag"))
+            .withColumn("conf", F.when(F.col("_concept").isNotNull(), F.lit(1.0))
+                        .otherwise(F.col("conf")))
+            .drop("_surface", "_concept"))
+
+
+def assert_text_equality(transcripts: DataFrame, mentions: DataFrame) -> int:
+    """The per-turn text-equality invariant (NerHelper.tag's embedded check,
+    NerHelper.java:173-182): every mention value must equal the text slice.
+    Returns the number of violations (0 == healthy)."""
+    joined = mentions.join(transcripts.select("conv_id", "turn_idx", "text"),
+                           ["conv_id", "turn_idx"])
+    violations = joined.where(
+        F.expr("substring(text, start + 1, end - start)") != F.col("value"))
+    return violations.count()
