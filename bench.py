@@ -1,0 +1,88 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"kg_triples": sec, ...}, "sf": ..., "extra": {...}}
+
+The flagship number is the end-to-end KG pipeline (NER chain → linking →
+relation patterns → canonical triples) over transcripts derived from the
+sf's lineitem table (1 turn per lineitem row).  triples/sec is reported in
+"extra" alongside.  Run tools/scaling_bench.py for the N-vs-4N-cores
+scaling-efficiency evidence (BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(sf_dir: str, cpus: int) -> dict:
+    from palladian_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("palladian-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus)
+    # warm the JVM/Python workers once with a tiny job
+    spark.range(1000).select((spark.range(1).columns and 1) or 1).count()
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    headline = [
+        "kg_triples",
+        "candidates_stringtagger",
+        "dedup_exact",
+        "doc_token_stats",
+        "minhash_signatures",
+        "similarity_ngram_dice",
+        "ann_cosine_top1",
+    ]
+    queries = entrymod.queries()
+    for name in headline:
+        fn = queries[name]
+        t0 = time.time()
+        n_rows = fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        extra[f"{name}_rows"] = n_rows
+
+    # throughput: triples/sec and turns/sec for the flagship
+    import duckdb
+    n_turns = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/lineitem.parquet'").fetchone()[0]
+    extra["turns"] = n_turns
+    extra["triples_per_sec"] = round(extra["kg_triples_rows"] / timings["kg_triples"], 1)
+    extra["turns_per_sec"] = round(n_turns / timings["kg_triples"], 1)
+
+    spark.stop()
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass
+    return {
+        "metric": "kg_construction_headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extra": extra,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    result = run_bench(sf_dir, cpus)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

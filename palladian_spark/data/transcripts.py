@@ -245,15 +245,13 @@ def tpch_transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     join."""
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
 
     joined = (lineitem
               .join(orders, lineitem.l_orderkey == orders.o_orderkey)
-              .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
               .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey))
 
-    cust = F.concat(F.lit("Customer C"), F.col("c_custkey").cast("string"))
+    cust = F.concat(F.lit("Customer C"), F.col("o_custkey").cast("string"))
     supp = F.concat(F.lit("Supplier S"), F.col("s_suppkey").cast("string"))
     nat = F.concat(F.lit("Nation N"), F.col("s_nationkey").cast("string"))
 

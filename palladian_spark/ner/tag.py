@@ -195,13 +195,21 @@ def pre_process(anns: Set[Annotation], model: NerModel) -> Set[Annotation]:
 # classification & post-processing (#9-#12)
 # ---------------------------------------------------------------------------
 
-def classify_candidates(anns: Set[Annotation], model: NerModel) -> List[ClassifiedAnnotation]:
+def classify_candidates(anns: Set[Annotation], model: NerModel,
+                        cache: Optional[Dict[str, Dict[str, float]]] = None,
+                        ) -> List[ClassifiedAnnotation]:
     """#9 — annotation-dictionary classifier; keep iff P(NO_ENTITY) < 0.5
-    (PalladianNer.java:446-456)."""
+    (PalladianNer.java:446-456).  ``cache`` memoizes per surface form —
+    classification depends only on the value, and surfaces repeat heavily
+    across a corpus."""
     out: List[ClassifiedAnnotation] = []
     scorer = DefaultScorer()
     for ann in sort_annotations(list(anns)):
-        probs = classify(ann.value, model.annotation_dictionary, scorer)
+        probs = cache.get(ann.value) if cache is not None else None
+        if probs is None:
+            probs = classify(ann.value, model.annotation_dictionary, scorer)
+            if cache is not None and len(cache) < 500_000:
+                cache[ann.value] = probs
         if probs.get(NO_ENTITY, 0.0) < 0.5:
             tag = max(probs, key=lambda k: probs[k]) if probs else ann.tag
             out.append(ClassifiedAnnotation(ann.start, ann.value, tag, probs))
@@ -249,12 +257,23 @@ def switch_tag_with_dictionary(ann: ClassifiedAnnotation,
 def post_process(anns: List[ClassifiedAnnotation], text: str,
                  model: NerModel, *, use_context: bool = True,
                  use_dictionary: bool = True) -> List[ClassifiedAnnotation]:
-    """#10 + #11 (PalladianNer.java:493-545)."""
-    out = anns
-    if use_context and model.context_dictionary is not None:
-        out = [apply_context_analysis(a, text, model) for a in out]
-    if use_dictionary:
-        out = [switch_tag_with_dictionary(a, model) for a in out]
+    """#10 + #11 (PalladianNer.java:493-545).
+
+    Fast path: when a value is an exact entity-dictionary hit, the
+    dictionary switch REPLACES the whole distribution (PalladianNer.java:
+    515-543), so the context classification that would run first has no
+    effect on the output — skip it for dictionary hits.  Output-equivalent
+    to the reference order, and removes the per-mention context scoring
+    cost for the (dominant) known-entity case.
+    """
+    out: List[ClassifiedAnnotation] = []
+    for a in anns:
+        if use_dictionary and model.entity_entries(a.value):
+            out.append(switch_tag_with_dictionary(a, model))
+            continue
+        if use_context and model.context_dictionary is not None:
+            a = apply_context_analysis(a, text, model)
+        out.append(a)
     return out
 
 
@@ -292,7 +311,9 @@ def combine_annotations(anns: List[ClassifiedAnnotation]) -> List[ClassifiedAnno
 # ---------------------------------------------------------------------------
 
 def get_annotations(text: str, model: NerModel, *, tag_urls_too: bool = True,
-                    tag_dates_too: bool = True) -> List[ClassifiedAnnotation]:
+                    tag_dates_too: bool = True,
+                    classify_cache: Optional[Dict[str, Dict[str, float]]] = None,
+                    ) -> List[ClassifiedAnnotation]:
     """The production tagging path (PalladianNer.java:459-473)."""
     if model.language_mode == LANGUAGE_MODE_INDEPENDENT:
         candidates = set(regex_tag(text, _TOKEN_PATTERN, "CANDIDATE"))
@@ -300,7 +321,7 @@ def get_annotations(text: str, model: NerModel, *, tag_urls_too: bool = True,
         candidates = set(tag_candidates(text))
 
     candidates = pre_process(candidates, model)
-    classified = classify_candidates(candidates, model)
+    classified = classify_candidates(candidates, model, classify_cache)
     classified = post_process(classified, text, model)
     classified = [a for a in classified if a.tag != NO_ENTITY]
     if model.language_mode == LANGUAGE_MODE_INDEPENDENT:

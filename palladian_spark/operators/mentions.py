@@ -93,11 +93,13 @@ def extract_mentions(transcripts: DataFrame, model: NerModel,
     """
     spark = transcripts.sparkSession
     model_bc = spark.sparkContext.broadcast(model)
+    cache: dict = {}
 
     def kernel(text: str):
         return get_annotations(text, model_bc.value,
                                tag_urls_too=tag_urls_too,
-                               tag_dates_too=tag_dates_too)
+                               tag_dates_too=tag_dates_too,
+                               classify_cache=cache)
 
     return (transcripts
             .select("conv_id", "turn_idx", "text")

@@ -112,6 +112,7 @@ def extract_triples(transcripts: DataFrame, model: NerModel,
 
     def run(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m = model_bc.value
+        cache: dict = {}
         cols = ("conv_id", "turn_idx", "subj", "pred", "obj", "subj_start",
                 "subj_end", "obj_start", "obj_end", "conf")
         for pdf in iterator:
@@ -120,7 +121,7 @@ def extract_triples(transcripts: DataFrame, model: NerModel,
                     pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
                 if text is None:
                     continue
-                mentions = get_annotations(text, m)
+                mentions = get_annotations(text, m, classify_cache=cache)
                 for row in triples_from_mentions(text, mentions, patterns):
                     out["conv_id"].append(conv_id)
                     out["turn_idx"].append(turn_idx)

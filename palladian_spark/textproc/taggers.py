@@ -150,6 +150,12 @@ _WEEKDAY_LONG = r"(?:Mon|Tues|Wednes|Thurs|Fri|Satur|Sun)day"
 # isDateFragment / removeDateFragment.
 DATE_FRAGMENTS = [_MONTH_SHORT, _MONTH_LONG, _WEEKDAY_SHORT, _WEEKDAY_LONG]
 
+# precompiled forms (the kernels run per mention — pattern-cache lookups on
+# these long alternation strings dominate otherwise)
+_FRAGMENT_SUB = [regex.compile(f) for f in DATE_FRAGMENTS]
+_FRAGMENT_BEGIN = [regex.compile(r"^(?:" + f + r")\.? ") for f in DATE_FRAGMENTS]
+_FRAGMENT_END = [regex.compile(r" (?:" + f + r")\.?$") for f in DATE_FRAGMENTS]
+
 _MONTH_ANY = r"(?:" + _MONTH_LONG + r"|" + _MONTH_SHORT + r"\.?)"
 DATE_REGEX = (
     r"\d{4}-\d{2}-\d{2}(?:[ T]\d{2}:\d{2}(?::\d{2})?)?"      # ISO 8601
@@ -192,8 +198,8 @@ def tag_twitter(text: str) -> List[Annotation]:
 def is_date_fragment(value: str) -> bool:
     """True iff the value consists entirely of date fragments
     (PalladianNer.java:812-819)."""
-    for frag in DATE_FRAGMENTS:
-        if not regex.sub(frag, " ", value).strip():
+    for frag in _FRAGMENT_SUB:
+        if not frag.sub(" ", value).strip():
             return True
     return False
 
@@ -204,15 +210,13 @@ def remove_date_fragment(ann: Annotation) -> Optional[Annotation]:
     Golden offsets: PalladianNerTest.java:19-36."""
     new_value = ann.value
     new_offset = ann.start
-    for frag in DATE_FRAGMENTS:
-        begin_re = r"^(?:" + frag + r")\.? "
-        end_re = r" (?:" + frag + r")\.?$"
+    for begin_re, end_re in zip(_FRAGMENT_BEGIN, _FRAGMENT_END):
         text_len = len(new_value)
-        if regex.search(begin_re, new_value):
-            new_value = regex.sub(begin_re, " ", new_value).strip()
+        if begin_re.search(new_value):
+            new_value = begin_re.sub(" ", new_value).strip()
             new_offset += text_len - len(new_value)
-        if regex.search(end_re, new_value):
-            new_value = regex.sub(end_re, " ", new_value).strip()
+        if end_re.search(new_value):
+            new_value = end_re.sub(" ", new_value).strip()
     if new_value == ann.value:
         return None
     return Annotation(new_offset, new_value, ann.tag)
