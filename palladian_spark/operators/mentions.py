@@ -59,6 +59,35 @@ def repartition_salted(df: DataFrame, num_partitions: Optional[int] = None) -> D
     return df.repartition(*cols)
 
 
+def ensure_map_parallelism(df: DataFrame) -> DataFrame:
+    """Guarantee the Python-heavy Arrow stages get full-cluster parallelism.
+
+    When the upstream plan ends in a small scan or an AQE-coalesced shuffle
+    (tiny inputs collapse to 1 partition), a downstream ``mapInPandas`` NER
+    stage would run on one core even though its cost is CPU-bound in Python,
+    not I/O-bound.  An explicit numbered repartition (which AQE respects and
+    never re-coalesces) on the salted key fixes both the parallelism and the
+    hot-conversation skew in one exchange.  The shuffled payload is just the
+    turn text — cheap relative to the per-turn NER cost.
+
+    The repartition is CONDITIONAL: a 100 TB Iceberg/parquet scan already
+    yields thousands of splits (≥ target), and forcing a numbered shuffle
+    there would move the whole corpus for nothing — so we only add the
+    exchange when the plan genuinely under-parallelizes.  (Note: with AQE,
+    inspecting ``.rdd`` materializes upstream shuffle stages eagerly; their
+    shuffle files are reused by the actual job, so no work is duplicated.)
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * 2
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        current = 0
+    if current >= target:
+        return df
+    return repartition_salted(df, target)
+
+
 def _batch_tagger(tagger_fn):
     """Wrap a text→[Annotation] kernel into a mapInPandas function."""
     def run(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -101,14 +130,14 @@ def extract_mentions(transcripts: DataFrame, model: NerModel,
                                tag_dates_too=tag_dates_too,
                                classify_cache=cache)
 
-    return (transcripts
+    return (ensure_map_parallelism(transcripts)
             .select("conv_id", "turn_idx", "text")
             .mapInPandas(_batch_tagger(kernel), MENTION_SCHEMA))
 
 
 def extract_candidates(transcripts: DataFrame) -> DataFrame:
     """StringTagger-only candidate scan (SURVEY.md §2.3), tag=CANDIDATE."""
-    return (transcripts
+    return (ensure_map_parallelism(transcripts)
             .select("conv_id", "turn_idx", "text")
             .mapInPandas(_batch_tagger(tag_candidates), MENTION_SCHEMA))
 
@@ -154,30 +183,41 @@ def split_sentences_df(transcripts: DataFrame, mask_entities: bool = True) -> Da
 # ---------------------------------------------------------------------------
 
 def remove_nested_df(mentions: DataFrame) -> DataFrame:
-    """De-nest intervals per turn (Annotations.java:43-56).
+    """De-nest intervals per turn (Annotations.java:43-56), fully JVM-side.
 
     The sweep keeps a span iff it starts at/after the end of the last KEPT
-    span — sequential within a turn, so it runs as ``applyInPandas`` per
-    (conv_id, turn_idx) group (groups are sentence-sized; the shuffle is on
-    the natural key).  NOTE: a window running-max over *all* previous ends
-    is NOT equivalent when a dropped long span would otherwise shadow a
-    later short one.
+    span — sequential within a turn, so it cannot be a window running-max
+    over *all* previous ends (a dropped long span would wrongly shadow a
+    later short one).  Instead: one shuffle to ``collect_list`` the turn's
+    spans, ``array_sort`` by (start asc, end desc), then a higher-order
+    ``F.aggregate`` fold carrying (last_end, kept[]) — the exact reference
+    sweep with zero Python and whole-stage codegen on both sides of the
+    single exchange.  Turn-local mention counts are bounded (sentence-sized
+    texts), so the per-group array never approaches executor memory.
     """
-    schema = mentions.schema
-
-    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["start", "end"], ascending=[True, False])
-        keep = []
-        last_end = 0
-        for row in pdf.itertuples(index=False):
-            if row.start < last_end:
-                keep.append(False)
-            else:
-                keep.append(True)
-                last_end = row.end
-        return pdf[pd.Series(keep, index=pdf.index)]
-
-    return mentions.groupBy("conv_id", "turn_idx").applyInPandas(sweep, schema)
+    extra = [c for c in mentions.columns if c not in ("conv_id", "turn_idx")]
+    span = F.struct(
+        F.col("start").cast("int").alias("start"),
+        (-F.col("end")).cast("int").alias("_negend"),
+        *[F.col(c) for c in extra if c not in ("start",)])
+    grouped = (mentions
+               .groupBy("conv_id", "turn_idx")
+               .agg(F.array_sort(F.collect_list(span)).alias("_spans")))
+    empty = F.filter(F.col("_spans"), lambda s: F.lit(False))
+    swept = F.aggregate(
+        F.col("_spans"),
+        F.struct(F.lit(0).cast("int").alias("last_end"), empty.alias("kept")),
+        lambda acc, s: F.when(
+            s["start"] >= acc["last_end"],
+            F.struct(s["end"].cast("int").alias("last_end"),
+                     F.concat(acc["kept"], F.array(s)).alias("kept"))
+        ).otherwise(acc),
+        lambda acc: acc["kept"])
+    exploded = (grouped
+                .select("conv_id", "turn_idx", F.explode(swept).alias("_s")))
+    return exploded.select(
+        "conv_id", "turn_idx",
+        *[F.col(f"_s.{c}").alias(c) for c in extra])
 
 
 def combine_adjacent_df(mentions: DataFrame, gap: int = 1) -> DataFrame:

@@ -103,9 +103,15 @@ def triples_from_mentions(text: str, mentions: Sequence[ClassifiedAnnotation],
 
 def extract_triples(transcripts: DataFrame, model: NerModel,
                     patterns: Sequence[PredicatePattern] = tuple(DEFAULT_PATTERNS),
-                    ) -> DataFrame:
+                    ensure_parallelism: bool = True) -> DataFrame:
     """The fused hot path: text → NER chain → sentence pairing → triples in
-    ONE Arrow-batched stage (no shuffle; model + patterns broadcast)."""
+    ONE Arrow-batched stage (model + patterns broadcast).  With
+    ``ensure_parallelism`` (default) the input is salted-repartitioned to
+    full parallelism first — the stage is Python-CPU-bound, so it must
+    never inherit a coalesced 1-partition plan from a small upstream join."""
+    from palladian_spark.operators.mentions import ensure_map_parallelism
+    if ensure_parallelism:
+        transcripts = ensure_map_parallelism(transcripts)
     spark = transcripts.sparkSession
     model_bc = spark.sparkContext.broadcast(model)
     patterns = list(patterns)
@@ -136,24 +142,50 @@ def extract_triples(transcripts: DataFrame, model: NerModel,
 
 def canonicalize_triples(triples: DataFrame, entity_dict: DataFrame,
                          metric: str = "jaro_winkler",
-                         threshold: float = 0.9) -> DataFrame:
+                         threshold: float = 0.9,
+                         persist: bool = True) -> DataFrame:
     """Replace subj/obj surface forms with canonical entity surfaces via the
-    linking stage (broadcast joins), then dedup per (conv, turn, s, p, o)."""
+    linking stage (broadcast joins), then dedup per (conv, turn, s, p, o).
+
+    Scale notes: the raw triple stream is persisted (memory+disk) before
+    linking — the linker needs DISTINCT surfaces and the final join needs
+    the rows again, and without pinning, Spark would re-run the expensive
+    upstream NER stage for each.  (On a cluster the raw stream is the
+    checkpointed ``triples_raw`` lineage table — see pipeline.run_pipeline —
+    which serves the same purpose durably.)  subj and obj surfaces are
+    linked in ONE pass over their union, and the surface→canonical mapping
+    is broadcast back, so the only shuffles are the distinct and the final
+    dedup agg.
+    """
     from palladian_spark.linking import link_mentions
 
-    def canon(df: DataFrame, col: str) -> DataFrame:
-        ments = df.select(F.col(col).alias("value")).distinct() \
-                  .withColumn("conv_id", F.lit("")) \
-                  .withColumn("turn_idx", F.lit(0))
-        linked = link_mentions(ments, entity_dict, metric, threshold) \
-            .select(F.col("value").alias(f"_{col}_value"),
-                    F.col("canonical").alias(f"_{col}_canon"))
-        return (df.join(F.broadcast(linked),
-                        df[col] == F.col(f"_{col}_value"), "left")
-                .withColumn(col, F.coalesce(f"_{col}_canon", col))
-                .drop(f"_{col}_value", f"_{col}_canon"))
+    if persist:
+        from pyspark import StorageLevel
+        triples = triples.persist(StorageLevel.MEMORY_AND_DISK)
 
-    out = canon(canon(triples, "subj"), "obj")
+    surfaces = (triples.select(F.col("subj").alias("value"))
+                .unionByName(triples.select(F.col("obj").alias("value")))
+                .distinct()
+                .withColumn("conv_id", F.lit(""))
+                .withColumn("turn_idx", F.lit(0)))
+    mapping = (link_mentions(surfaces, entity_dict, metric, threshold)
+               .where(F.col("canonical").isNotNull())
+               .select(F.col("value").alias("_surface"),
+                       F.col("canonical").alias("_canon")))
+    mapping = F.broadcast(mapping)
+
+    out = (triples
+           .join(mapping.withColumnRenamed("_surface", "_s_surface")
+                        .withColumnRenamed("_canon", "_s_canon"),
+                 triples.subj == F.col("_s_surface"), "left")
+           .withColumn("subj", F.coalesce("_s_canon", "subj"))
+           .drop("_s_surface", "_s_canon"))
+    out = (out
+           .join(mapping.withColumnRenamed("_surface", "_o_surface")
+                        .withColumnRenamed("_canon", "_o_canon"),
+                 out.obj == F.col("_o_surface"), "left")
+           .withColumn("obj", F.coalesce("_o_canon", "obj"))
+           .drop("_o_surface", "_o_canon"))
     return (out.groupBy("conv_id", "turn_idx", "subj", "pred", "obj")
             .agg(F.min("subj_start").alias("subj_start"),
                  F.min("subj_end").alias("subj_end"),
