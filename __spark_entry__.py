@@ -202,16 +202,23 @@ def _q_ngram_dice(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.array_distinct(
             F.transform(idx, lambda i: padded.substr(i, F.lit(3))))
 
-    a = part.select(F.col("p_partkey").alias("a_key"), F.col("p_name").alias("a_name"),
-                    F.col("p_brand").alias("a_brand"))
-    b = part.select(F.col("p_partkey").alias("b_key"), F.col("p_name").alias("b_name"),
-                    F.col("p_brand").alias("b_brand"))
+    # materialize the gram arrays per part BEFORE the join — inside the
+    # join projection Catalyst would recompute them once per PAIR (O(pairs)
+    # instead of O(parts) gram builds: 343s → seconds at sf0.1)
+    g = part.select("p_partkey", "p_brand", F.lower("p_name").alias("lname"),
+                    grams(F.col("p_name")).alias("grams"),
+                    F.size(grams(F.col("p_name"))).alias("n_grams"))
+    a = g.select(F.col("p_partkey").alias("a_key"), F.col("p_brand").alias("a_brand"),
+                 F.col("lname").alias("a_lname"), F.col("grams").alias("a_g"),
+                 F.col("n_grams").alias("a_n"))
+    b = g.select(F.col("p_partkey").alias("b_key"), F.col("p_brand").alias("b_brand"),
+                 F.col("lname").alias("b_lname"), F.col("grams").alias("b_g"),
+                 F.col("n_grams").alias("b_n"))
     pairs = a.join(b, (F.col("a_brand") == F.col("b_brand"))
                    & (F.col("a_key") < F.col("b_key")))
-    ga, gb = grams(F.col("a_name")), grams(F.col("b_name"))
-    inter = F.size(F.array_intersect(ga, gb))
-    dice = F.when(F.lower(F.col("a_name")) == F.lower(F.col("b_name")), F.lit(1.0)) \
-        .otherwise(2.0 * inter / (F.size(ga) + F.size(gb)))
+    inter = F.size(F.array_intersect("a_g", "b_g"))
+    dice = F.when(F.col("a_lname") == F.col("b_lname"), F.lit(1.0)) \
+        .otherwise(2.0 * inter / (F.col("a_n") + F.col("b_n")))
     return (pairs.select("a_key", "b_key", F.round(dice, 6).alias("dice_sim"))
             .where(F.col("dice_sim") >= 0.5))
 
@@ -247,6 +254,171 @@ def _q_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", "cos_sim")
 
 
+def _q_word_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word tokenizer with offsets (TOKEN_SPLIT_REGEX, Tokenizer.java:27)
+    over derived transcripts; oracle enumerates the 10 expected tokens."""
+    from palladian_spark.operators.mentions import word_tokens_df
+    return (word_tokens_df(_tpch_transcripts(spark, sf_dir))
+            .select("conv_id", "turn_idx", "tok_idx", "tok_start", "token"))
+
+
+def _q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PalladianSentenceDetector port over two-sentence turns; the oracle
+    computes both sentences and their start offsets analytically."""
+    from palladian_spark.operators.mentions import split_sentences_df
+    t = _tpch_transcripts_2s(spark, sf_dir)
+    return (split_sentences_df(t)
+            .select("conv_id", "turn_idx", "sent_idx", "sent_start", "sentence"))
+
+
+def _tpch_transcripts_2s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from palladian_spark.data.transcripts import tpch_transcripts_df
+    return tpch_transcripts_df(spark, sf_dir, two_sentences=True)
+
+
+def _q_dict_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-model training as explode + hash agg (SURVEY.md §2.4,
+    DictionaryTrieModel.java:83-100) over documents with lang as category."""
+    from palladian_spark.classification.train_df import build_dictionary_df
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return build_dictionary_df(docs, "lang").select("term", "category", "count")
+
+
+def _q_classify_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DefaultScorer classification (PalladianTextClassifier.java:
+    101-133): broadcast dict join + per-doc agg + normalize + argmax."""
+    from palladian_spark.classification.train_df import (
+        build_dictionary_df, category_priors_df, classify_df)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = build_dictionary_df(docs, "lang")
+    p = category_priors_df(docs, "lang")
+    return classify_df(docs, d, p, ["doc_id"], round_decimals=4) \
+        .select("doc_id", "predicted", "prob")
+
+
+def _q_entity_dict_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """buildEntityDictionary (PalladianNer.java:326-333): surface → type
+    counts over the full NER chain's output."""
+    from palladian_spark.operators.mentions import extract_mentions
+    from palladian_spark.ner.train_df import build_entity_dictionary_df
+    t = _tpch_transcripts(spark, sf_dir)
+    mentions = extract_mentions(t, _tpch_model(spark, sf_dir))
+    return build_entity_dictionary_df(mentions).select("value", "tag", "n")
+
+
+def _q_case_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """buildCaseDictionary (PalladianNer.java:191-222), relational form."""
+    from palladian_spark.ner.train_df import build_case_dictionary_df
+    t = _tpch_transcripts(spark, sf_dir)
+    return build_case_dictionary_df(t).select(
+        "token", "n_total", "n_lower", F.round("prob", 6).alias("prob"))
+
+
+def _q_mine_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PatternAnalyzer-shaped predicate mining (PatternAnalyzer.java:46-64):
+    frequent inter-mention windows per type pair."""
+    from palladian_spark.relations import mine_patterns_df
+    t = _tpch_transcripts(spark, sf_dir)
+    return (mine_patterns_df(t, _tpch_model(spark, sf_dir),
+                             min_count=2, max_window_chars=60)
+            .select("subj_type", "obj_type", "window",
+                    F.col("count").alias("n")))
+
+
+def _q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-sentence mention pair counts (CoOccurrenceRetriever.java:27-60)
+    via the relational join path: candidates ⋈ sentences ⋈ self.
+
+    The synthetic lineitem carries duplicate (orderkey, linenumber) rows →
+    duplicate (conv_id, turn_idx) keys with different texts, which would
+    cross-match in the relational join; dedupe turns deterministically
+    (min text per key) first."""
+    from pyspark.sql import Window
+    from palladian_spark.operators.mentions import (
+        extract_candidates, split_sentences_df)
+    from palladian_spark.relations import cooccurrence_pairs
+    t = _tpch_transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("text")
+    t = (t.withColumn("_rn", F.row_number().over(w))
+         .where(F.col("_rn") == 1).drop("_rn"))
+    pairs = cooccurrence_pairs(extract_candidates(t), split_sentences_df(t))
+    return pairs.select("left_value", "left_tag", "right_value", "right_tag",
+                        F.col("count").alias("n"))
+
+
+def _q_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash → LSH bands → bucket join → exact-Jaccard verify
+    (the scale path for near-dup detection)."""
+    from palladian_spark.operators.dedup import minhash_dedup_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup_pairs(docs, threshold=0.2) \
+        .select("a_id", "b_id", "jaccard")
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (per-token md5 bit votes, majority)."""
+    from palladian_spark.operators.dedup import simhash
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(docs).select("doc_id", "simhash")
+
+
+def _q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-3-gram Jaccard near-dup pairs within length-blocking buckets."""
+    from palladian_spark.operators.dedup import ngram_jaccard_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, threshold=0.5) \
+        .select("a_id", "b_id", "jaccard")
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (broadcast-matmul, no cross join)."""
+    from palladian_spark.operators.dedup import embedding_neardup_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, threshold=0.3) \
+        .select("a_id", "b_id", "cos_sim")
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID (closed-form, whole-stage codegen)."""
+    from palladian_spark.operators.text_quality import language_id
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return language_id(docs).select("doc_id", "lang_pred", "marker_hits")
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality features + composite score."""
+    from palladian_spark.operators.text_quality import quality_scores
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_scores(docs)
+
+
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization counting."""
+    from palladian_spark.operators.text_quality import bpe_token_counts
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_token_counts(docs)
+
+
+def _q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style sparse shingle fingerprints."""
+    from palladian_spark.operators.text_quality import rolling_fingerprints
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return rolling_fingerprints(docs).select("doc_id", "fingerprint")
+
+
+def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column → Arrow-batched metadata
+    extraction (decode step stubbed deterministically; the schema, batch
+    loop and partitioning are the real production shape)."""
+    from palladian_spark.operators.multimodal import (
+        extract_media_metadata, synthesize_media)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = synthesize_media(docs)
+    return extract_media_metadata(media).select(
+        "media_id", "media_type", "payload_len", "sha",
+        "width", "height", "n_frames")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "candidates_stringtagger": _q_candidates,
@@ -261,6 +433,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ngram_dice": _q_ngram_dice,
         "minhash_signatures": _q_minhash_signatures,
         "ann_cosine_top1": _q_ann_top1,
+        "word_tokenize": _q_word_tokenize,
+        "sentence_split": _q_sentence_split,
+        "dict_model_train": _q_dict_train,
+        "classify_default": _q_classify_default,
+        "entity_dict_train": _q_entity_dict_train,
+        "case_dictionary": _q_case_dictionary,
+        "mine_patterns": _q_mine_patterns,
+        "cooccurrence": _q_cooccurrence,
+        "lsh_dedup_pairs": _q_lsh_dedup,
+        "simhash": _q_simhash,
+        "ngram_jaccard_neardup": _q_ngram_jaccard_neardup,
+        "embedding_neardup": _q_embedding_neardup,
+        "lang_id": _q_lang_id,
+        "quality_scores": _q_quality,
+        "bpe_token_counts": _q_bpe_tokens,
+        "rolling_fingerprints": _q_rolling_fingerprints,
+        "multimodal_meta": _q_multimodal_meta,
     }
 
 
@@ -448,5 +637,266 @@ WITH pairs AS (
   FROM pairs
 )
 SELECT a_id, b_id, cos_sim FROM ranked WHERE rn = 1
+""",
+        "word_tokenize": _BASE_CTE + """
+, m AS (SELECT conv_id, turn_idx, cust, supp, nat,
+               length(cust) lc, length(supp) ls, length(nat) ln FROM base)
+SELECT conv_id, turn_idx, CAST(0 AS INT) tok_idx, CAST(0 AS INT) tok_start,
+       'Customer' AS token FROM m
+UNION ALL SELECT conv_id, turn_idx, 1, 9, substr(cust, 10) FROM m
+UNION ALL SELECT conv_id, turn_idx, 2, lc + 1, 'works' FROM m
+UNION ALL SELECT conv_id, turn_idx, 3, lc + 7, 'for' FROM m
+UNION ALL SELECT conv_id, turn_idx, 4, lc + 11, 'Supplier' FROM m
+UNION ALL SELECT conv_id, turn_idx, 5, lc + 20, substr(supp, 10) FROM m
+UNION ALL SELECT conv_id, turn_idx, 6, lc + ls + 12, 'in' FROM m
+UNION ALL SELECT conv_id, turn_idx, 7, lc + ls + 15, 'Nation' FROM m
+UNION ALL SELECT conv_id, turn_idx, 8, lc + ls + 22, substr(nat, 8) FROM m
+UNION ALL SELECT conv_id, turn_idx, 9, lc + ls + ln + 15, '.' FROM m
+""",
+        "sentence_split": _BASE_CTE + """
+, m AS (SELECT conv_id, turn_idx,
+               cust || ' works for ' || supp || ' in ' || nat || '.' AS s1,
+               supp || ' is based in ' || nat || '.' AS s2 FROM base)
+SELECT conv_id, turn_idx, CAST(0 AS INT) sent_idx, CAST(0 AS INT) sent_start,
+       s1 AS sentence FROM m
+UNION ALL
+SELECT conv_id, turn_idx, 1, CAST(length(s1) + 1 AS INT), s2 FROM m
+""",
+        "dict_model_train": """
+WITH t AS (
+  SELECT lang, unnest(list_distinct(list_filter(string_split(text, ' '),
+                                                w -> len(w) BETWEEN 3 AND 20)))
+           AS term
+  FROM documents
+)
+SELECT term, lang AS category, CAST(count(*) AS DOUBLE) AS count
+FROM t GROUP BY 1, 2
+""",
+        "classify_default": """
+WITH t AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(list_filter(string_split(text, ' '),
+                                          w -> len(w) BETWEEN 3 AND 20))) AS term
+  FROM documents
+), d AS (
+  SELECT term, lang AS cat, CAST(count(*) AS DOUBLE) c FROM t GROUP BY 1, 2
+), dt AS (
+  SELECT term, sum(c) tot FROM d GROUP BY 1
+), s AS (
+  SELECT t.doc_id, d.cat, sum((d.c / dt.tot) * (d.c / dt.tot)) sc
+  FROM t JOIN d ON t.term = d.term JOIN dt ON t.term = dt.term
+  GROUP BY 1, 2
+), p AS (
+  SELECT doc_id, cat, sc / sum(sc) OVER (PARTITION BY doc_id) prob FROM s
+), r AS (
+  SELECT doc_id, cat, prob,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY prob DESC, cat ASC) rn
+  FROM p
+)
+SELECT doc_id, cat AS predicted, round(prob, 4) AS prob FROM r WHERE rn = 1
+""",
+        "entity_dict_train": _BASE_CTE + """
+SELECT cust AS value, 'PER' AS tag, count(*) AS n FROM base GROUP BY 1
+UNION ALL SELECT supp, 'ORG', count(*) FROM base GROUP BY 1
+UNION ALL SELECT nat, 'LOC', count(*) FROM base GROUP BY 1
+""",
+        "case_dictionary": _BASE_CTE + """
+SELECT 'works' AS token, count(*) AS n_total, count(*) AS n_lower,
+       CAST(1.0 AS DOUBLE) AS prob FROM base
+UNION ALL SELECT 'for', count(*), count(*), CAST(1.0 AS DOUBLE) FROM base
+UNION ALL SELECT 'in', count(*), count(*), CAST(1.0 AS DOUBLE) FROM base
+""",
+        "mine_patterns": _BASE_CTE + """
+SELECT 'PER' AS subj_type, 'ORG' AS obj_type, 'works for' AS window,
+       count(*) AS n FROM base HAVING count(*) >= 2
+UNION ALL
+SELECT 'ORG', 'LOC', 'in', count(*) FROM base HAVING count(*) >= 2
+UNION ALL
+SELECT 'PER', 'LOC', 'works for ' || lower(supp) || ' in', count(*)
+FROM base GROUP BY 3 HAVING count(*) >= 2
+""",
+        "cooccurrence": _BASE_CTE + """
+, dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY cust || ' works for ' || supp || ' in ' || nat || '.') rn
+    FROM base)
+  WHERE rn = 1
+)
+SELECT cust AS left_value, 'CANDIDATE' AS left_tag, supp AS right_value,
+       'CANDIDATE' AS right_tag, count(*) AS n FROM dedup GROUP BY 1, 3
+UNION ALL SELECT cust, 'CANDIDATE', nat, 'CANDIDATE', count(*)
+FROM dedup GROUP BY 1, 3
+UNION ALL SELECT supp, 'CANDIDATE', nat, 'CANDIDATE', count(*)
+FROM dedup GROUP BY 1, 3
+""",
+        "lsh_dedup_pairs": """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(
+           [array_to_string(ts[i:i+2], ' ')
+            for i in range(1, greatest(len(ts) - 2, 1) + 1)]) s
+  FROM tok
+), e AS (SELECT doc_id, unnest(s) shingle FROM sh),
+sig AS (
+  SELECT doc_id,
+    min(('0x' || substr(md5('seed0|' || shingle), 1, 8))::BIGINT) m0,
+    min(('0x' || substr(md5('seed1|' || shingle), 1, 8))::BIGINT) m1,
+    min(('0x' || substr(md5('seed2|' || shingle), 1, 8))::BIGINT) m2,
+    min(('0x' || substr(md5('seed3|' || shingle), 1, 8))::BIGINT) m3,
+    min(('0x' || substr(md5('seed4|' || shingle), 1, 8))::BIGINT) m4,
+    min(('0x' || substr(md5('seed5|' || shingle), 1, 8))::BIGINT) m5,
+    min(('0x' || substr(md5('seed6|' || shingle), 1, 8))::BIGINT) m6,
+    min(('0x' || substr(md5('seed7|' || shingle), 1, 8))::BIGINT) m7
+  FROM e GROUP BY doc_id
+), band AS (
+  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS key FROM sig
+  UNION ALL SELECT doc_id, 1, m2::VARCHAR || '_' || m3::VARCHAR FROM sig
+  UNION ALL SELECT doc_id, 2, m4::VARCHAR || '_' || m5::VARCHAR FROM sig
+  UNION ALL SELECT doc_id, 3, m6::VARCHAR || '_' || m7::VARCHAR FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+  FROM band a JOIN band b ON a.band = b.band AND a.key = b.key
+                         AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id,
+       round(len(list_intersect(x.s, y.s))::DOUBLE
+             / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+FROM cand JOIN sh x ON a_id = x.doc_id JOIN sh y ON b_id = y.doc_id
+WHERE round(len(list_intersect(x.s, y.s))::DOUBLE
+            / len(list_distinct(list_concat(x.s, y.s))), 6) >= 0.2
+""",
+        "simhash": """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) token
+  FROM documents
+), v AS (
+  SELECT doc_id, ('0x' || substr(md5('seed0|' || token), 1, 8))::BIGINT h
+  FROM tok
+), bits AS (
+  SELECT doc_id, k,
+         sum(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) vote
+  FROM v, range(0, 16) t(k) GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << k) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+""",
+        "ngram_jaccard_neardup": """
+WITH g AS (
+  SELECT doc_id, CAST(floor(length(text) / 50) AS INT) bk,
+         list_distinct([substr('##' || lower(text) || '##', i, 3)
+                        for i in range(1, length(text) + 3)]) gr
+  FROM documents
+)
+SELECT a.doc_id a_id, b.doc_id b_id,
+       round(len(list_intersect(a.gr, b.gr))::DOUBLE
+             / len(list_distinct(list_concat(a.gr, b.gr))), 6) AS jaccard
+FROM g a JOIN g b ON a.bk = b.bk AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.gr, b.gr))::DOUBLE
+            / len(list_distinct(list_concat(a.gr, b.gr))), 6) >= 0.5
+""",
+        "embedding_neardup": """
+SELECT a.vec_id a_id, b.vec_id b_id,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 4) >= 0.3
+""",
+        "lang_id": """
+WITH s AS (
+  SELECT doc_id, string_split(lower(text), ' ') ts FROM documents
+), sc AS (
+  SELECT doc_id,
+    len(list_filter(ts, t -> t IN ('the','and','of','to','in','is','that','for','with','a'))) s_en,
+    len(list_filter(ts, t -> t IN ('der','die','das','und','ist','nicht','mit','für','ein'))) s_de,
+    len(list_filter(ts, t -> t IN ('le','la','les','et','est','pas','pour','avec','une'))) s_fr,
+    len(list_filter(ts, t -> t IN ('el','la','los','las','es','no','por','con','una'))) s_es,
+    len(list_filter(ts, t -> t IN ('的','是','不','了','在','有','我','他'))) s_zh
+  FROM s
+), m AS (
+  SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) mx FROM sc
+)
+SELECT doc_id,
+       CASE WHEN s_en = mx THEN 'en' WHEN s_de = mx THEN 'de'
+            WHEN s_fr = mx THEN 'fr' WHEN s_es = mx THEN 'es'
+            ELSE 'zh' END AS lang_pred,
+       CAST(mx AS INT) AS marker_hits
+FROM m
+""",
+        "quality_scores": """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') ts, length(text) nc
+  FROM documents
+), r AS (
+  SELECT doc_id,
+    len(ts) nt,
+    len(list_distinct(ts))::DOUBLE / len(ts) dr,
+    len(list_filter(ts, x -> x IN ('the','a','and','of')))::DOUBLE / len(ts) sr,
+    (nc - length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')))::DOUBLE / nc nar,
+    (nc - (len(ts) - 1))::DOUBLE / len(ts) mtl
+  FROM t
+)
+SELECT doc_id, CAST(nt AS INT) n_tokens,
+       round(dr, 6) distinct_ratio, round(sr, 6) stopword_ratio,
+       round(nar, 6) nonalpha_ratio, round(mtl, 6) mean_token_len,
+       round(dr * (1.0 - nar)
+             * CASE WHEN sr >= 0.05 AND sr <= 0.6 THEN 1.0 ELSE 0.5 END,
+             6) quality
+FROM r
+""",
+        "bpe_token_counts": """
+SELECT doc_id,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+       AS INT) n_bpe_tokens,
+  CAST(len(string_split(text, ' ')) AS INT) n_ws_tokens,
+  CAST(len(list_distinct(regexp_extract_all(lower(text),
+                                            '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+       AS INT) n_distinct_bpe
+FROM documents
+""",
+        "rolling_fingerprints": """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') ts FROM documents
+), sh AS (
+  SELECT doc_id,
+         [array_to_string(ts[i:i+7], ' ')
+          for i in range(1, greatest(len(ts) - 7, 1) + 1)] ss
+  FROM tok
+), h AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           list_transform(ss, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT),
+           x -> x % 16 = 0)) hs
+  FROM sh
+)
+SELECT doc_id, unnest(hs) AS fingerprint FROM h
+""",
+        "multimodal_meta": """
+WITH m AS (
+  SELECT doc_id, text,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END mt,
+         sha256(text) sha
+  FROM documents
+), b AS (
+  SELECT *, ('0x' || substr(sha, 1, 2))::INT h0,
+            ('0x' || substr(sha, 3, 2))::INT h1,
+            ('0x' || substr(sha, 5, 2))::INT h2
+  FROM m
+)
+SELECT doc_id AS media_id, mt AS media_type,
+       CAST(length(text) AS INT) AS payload_len, sha,
+       CAST(CASE WHEN mt = 'audio' THEN 0 ELSE 64 + h0 % 192 END AS INT)
+         AS width,
+       CAST(CASE WHEN mt = 'audio' THEN 0 ELSE 64 + h1 % 192 END AS INT)
+         AS height,
+       CAST(CASE WHEN mt = 'image' THEN 1 ELSE 1 + h2 % 64 END AS INT)
+         AS n_frames
+FROM b
 """,
     }

@@ -28,8 +28,17 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     spark = get_spark("palladian-bench", master=f"local[{cpus}]",
                       shuffle_partitions=2 * cpus)
-    # warm the JVM/Python workers once with a tiny job
-    spark.range(1000).select((spark.range(1).columns and 1) or 1).count()
+    # warm the JVM and the Python worker pool once with a tiny Arrow job so
+    # the first timed query doesn't pay the 32-worker import cold start
+    import pandas as _pd
+
+    def _noop(it):
+        for pdf in it:
+            yield pdf
+
+    (spark.range(spark.sparkContext.defaultParallelism * 4)
+     .repartition(spark.sparkContext.defaultParallelism * 2)
+     .mapInPandas(_noop, "id long").count())
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
@@ -37,11 +46,14 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     headline = [
         "kg_triples",
         "candidates_stringtagger",
+        "word_tokenize",
         "dedup_exact",
-        "doc_token_stats",
+        "lsh_dedup_pairs",
+        "classify_default",
         "minhash_signatures",
         "similarity_ngram_dice",
         "ann_cosine_top1",
+        "multimodal_meta",
     ]
     queries = entrymod.queries()
     for name in headline:

@@ -1,0 +1,152 @@
+"""Distributed dictionary-classifier training & scoring (SURVEY.md §2.4).
+
+The reference trains its text classifier by incrementing (term, category)
+counts per document in a Java trie (DictionaryTrieModel.java:83-100) and
+scores documents by summing per-term scores (PalladianTextClassifier.java:
+210-269).  At transcript scale both are plain relational shapes:
+
+  train    = explode(document terms) → groupBy(term, category).sum(weight)
+             (+ two more aggs for the document/term priors) — a map-side-
+             combinable hash aggregation, the cheapest distributed shape.
+  classify = doc-terms ⋈ broadcast dictionary → per-(doc, category) sum →
+             normalize → argmax — one broadcast hash join and one agg,
+             whole-stage codegen throughout, no Python anywhere.
+
+Word-unigram terms are produced JVM-side with the VERBATIM reference
+tokenizer regex (Tokenizer.java:27 is a *Java* regex, so Spark's
+``regexp_extract_all`` runs the exact same pattern the reference compiles),
+lowercased unless case-sensitive, with the reference's [min,max] term-length
+filter for word unigrams (Preprocessor.java:27-77).
+
+The per-document maxTerms=800 first-seen cap (PalladianTextClassifier.java:
+202-204) is applied with ``slice(array_distinct(...))`` — array_distinct
+preserves first-occurrence order, matching the reference's LinkedHashSet
+iteration order.
+
+The Python-side twin of this module (dictionary.py) carries the golden-test
+parity; equivalence between the two is asserted in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from palladian_spark.classification.dictionary import FeatureSetting
+from palladian_spark.textproc.tokenize import TOKEN_SPLIT_REGEX
+
+
+def word_terms_col(text_col, setting: FeatureSetting):
+    """array<string> of the document's distinct word-unigram terms, in
+    first-seen order, maxTerms-capped — all JVM expressions."""
+    source = text_col if setting.case_sensitive else F.lower(text_col)
+    toks = F.regexp_extract_all(source, F.lit(f"(?is)({TOKEN_SPLIT_REGEX})"), 1)
+    kept = F.filter(toks, lambda t: (F.length(t) >= setting.min_term_length)
+                    & (F.length(t) <= setting.max_term_length))
+    return F.slice(F.array_distinct(kept), 1, setting.max_terms)
+
+
+def doc_terms_df(docs: DataFrame, text_col: str = "text",
+                 setting: FeatureSetting | None = None) -> DataFrame:
+    """Explode each document into (…keys, term) rows."""
+    setting = setting or FeatureSetting.words(1)
+    keys = [c for c in docs.columns if c != text_col]
+    return (docs
+            .withColumn("_terms", word_terms_col(F.col(text_col), setting))
+            .select(*keys, F.explode("_terms").alias("term")))
+
+
+def build_dictionary_df(docs: DataFrame, category_col: str,
+                        text_col: str = "text",
+                        setting: FeatureSetting | None = None,
+                        min_count: int = 1,
+                        weight_col: str | None = None) -> DataFrame:
+    """DictionaryModel as a DataFrame: (term, category, count).
+
+    ``min_count`` is the pruning strategy (PruningStrategies.java:36-55) —
+    a HAVING filter on the term's total count, which is also the broadcast-
+    size lever at web scale (SURVEY.md §4).
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    terms = (docs
+             .withColumn("_w", w)
+             .withColumn("_terms", word_terms_col(F.col(text_col),
+                                                  setting or FeatureSetting.words(1)))
+             .select(F.col(category_col).alias("category"), "_w",
+                     F.explode("_terms").alias("term")))
+    counted = (terms.groupBy("term", "category")
+               .agg(F.sum("_w").alias("count")))
+    if min_count > 1:
+        total = Window.partitionBy("term")
+        counted = (counted
+                   .withColumn("_total", F.sum("count").over(total))
+                   .where(F.col("_total") >= min_count)
+                   .drop("_total"))
+    return counted
+
+
+def category_priors_df(docs: DataFrame, category_col: str,
+                       weight_col: str | None = None) -> DataFrame:
+    """(category, num_documents) — the prior counters
+    (DictionaryModel.java:14-113)."""
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    return (docs.groupBy(F.col(category_col).alias("category"))
+            .agg(F.sum(w).alias("num_documents")))
+
+
+def classify_df(docs: DataFrame, dictionary: DataFrame, priors: DataFrame,
+                id_cols: list[str], text_col: str = "text",
+                setting: FeatureSetting | None = None,
+                round_decimals: int | None = 6) -> DataFrame:
+    """DefaultScorer classification, fully relational
+    (PalladianTextClassifier.java:101-133 + 210-269):
+
+      per matched (term, category): score = (termCatCount / dictCount)²
+      per (doc, category): sum → normalize to probabilities → argmax
+      docs with NO matched term fall back to the prior distribution.
+
+    Returns one row per doc: (*id_cols, predicted, prob).
+    """
+    setting = setting or FeatureSetting.words(1)
+    dict_scored = (dictionary
+                   .withColumn("_dict_count",
+                               F.sum("count").over(Window.partitionBy("term")))
+                   .select("term", "category",
+                           (F.col("count") / F.col("_dict_count"))
+                           .alias("_p")))
+    dict_scored = F.broadcast(dict_scored.withColumn("_score",
+                                                     F.col("_p") * F.col("_p"))
+                              .drop("_p"))
+
+    terms = doc_terms_df(docs.select(*id_cols, text_col), text_col, setting)
+    sums = (terms
+            .join(dict_scored, "term")
+            .groupBy(*id_cols, "category")
+            .agg(F.sum("_score").alias("_sum")))
+
+    # normalize over the doc's total; scores are squares ≥ 0 so total > 0
+    wdoc = Window.partitionBy(*id_cols)
+    probs = (sums
+             .withColumn("_total", F.sum("_sum").over(wdoc))
+             .withColumn("prob", F.col("_sum") / F.col("_total")))
+    best = (probs
+            .withColumn("_rn", F.row_number().over(
+                wdoc.orderBy(F.desc("prob"), F.asc("category"))))
+            .where(F.col("_rn") == 1)
+            .select(*id_cols, F.col("category").alias("predicted"), "prob"))
+
+    # unmatched docs → prior argmax (scorer.scoreCategory unmatched branch)
+    prior_total = priors.agg(F.sum("num_documents")).collect()[0][0] or 1.0
+    prior_best = (priors.orderBy(F.desc("num_documents"), F.asc("category"))
+                  .limit(1).collect())
+    fallback_cat = prior_best[0]["category"] if prior_best else ""
+    fallback_prob = (prior_best[0]["num_documents"] / prior_total
+                     if prior_best else 0.0)
+
+    unmatched = (docs.select(*id_cols)
+                 .join(best.select(*id_cols), id_cols, "left_anti")
+                 .withColumn("predicted", F.lit(fallback_cat))
+                 .withColumn("prob", F.lit(float(fallback_prob))))
+    out = best.unionByName(unmatched)
+    if round_decimals is not None:
+        out = out.withColumn("prob", F.round("prob", round_decimals))
+    return out

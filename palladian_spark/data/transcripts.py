@@ -236,13 +236,16 @@ def generated_gold_triples_df(gen_df: DataFrame) -> DataFrame:
 # TPC-H-derived transcripts (driver testdata → oracle-checkable inputs)
 # ---------------------------------------------------------------------------
 
-def tpch_transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tpch_transcripts_df(spark: SparkSession, sf_dir: str,
+                        two_sentences: bool = False) -> DataFrame:
     """Transcript turns derived deterministically from the driver's TPC-H
     parquet: one turn per lineitem, text
     'Customer C<ck> works for Supplier S<sk> in Nation N<nk>.'
     (capitalized-name shapes the StringTagger recognizes).  A DuckDB oracle
     can compute the expected mentions/triples analytically from the same
-    join."""
+    join.  With ``two_sentences`` a second sentence
+    'Supplier S<sk> is based in Nation N<nk>.' is appended so sentence
+    segmentation has something to split."""
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
@@ -255,13 +258,17 @@ def tpch_transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = F.concat(F.lit("Supplier S"), F.col("s_suppkey").cast("string"))
     nat = F.concat(F.lit("Nation N"), F.col("s_nationkey").cast("string"))
 
+    text = F.concat(cust, F.lit(" works for "), supp, F.lit(" in "), nat,
+                    F.lit("."))
+    if two_sentences:
+        text = F.concat(text, F.lit(" "), supp, F.lit(" is based in "), nat,
+                        F.lit("."))
     return joined.select(
         F.concat(F.lit("conv-"), F.col("l_orderkey").cast("string")).alias("conv_id"),
         F.col("l_linenumber").cast("int").alias("turn_idx"),
         F.when(F.col("l_linenumber") % 2 == 0, F.lit("assistant"))
          .otherwise(F.lit("user")).alias("role"),
-        F.concat(cust, F.lit(" works for "), supp, F.lit(" in "), nat,
-                 F.lit(".")).alias("text"),
+        text.alias("text"),
         F.lit(None).cast("string").alias("tool"),
         F.col("l_shipdate").alias("ts"),
     )

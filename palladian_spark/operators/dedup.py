@@ -1,0 +1,188 @@
+"""Large-scale document deduplication operators.
+
+These go beyond the reference (which has no dedup stage) — they are the
+training-data-pipeline operators a 100 TB corpus needs before any IE runs.
+All hash material is md5-derived so every value is engine-portable
+(DuckDB oracles reproduce them bit-for-bit) and deterministic across
+sessions — no seed state, no Python in the hot path.
+
+Scale design:
+  * exact dedup          — one hash aggregation (map-side combinable).
+  * MinHash signatures   — explode shingles → groupBy(doc).min(hash_k):
+                           shuffle size = shingles, combiner shrinks it to
+                           one row per (doc, partition) before the exchange.
+  * LSH candidate pairs  — band the signatures, self-join per (band, key)
+                           bucket: only same-bucket docs ever meet, so the
+                           join is |bucket|² per bucket instead of n² —
+                           THE near-dup shape that survives 10⁹ docs.
+  * SimHash              — per-token md5 bit votes, majority per bit; one
+                           explode + one agg, fingerprint is a compact int.
+  * n-gram Jaccard pairs — char-shingle verify step for LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _hash32(col, seed: int):
+    """Deterministic 32-bit value from md5 — portable across engines."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"seed{seed}|"), col)),
+                              1, 8), 16, 10).cast("long")
+
+
+def token_shingles(text_col, k: int = 3):
+    """Distinct k-token shingles of a whitespace-tokenized document."""
+    toks = F.split(text_col, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))))
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: fingerprint → group size (>1 = dup set)."""
+    return (docs
+            .groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+            .agg(F.count("*").alias("n_dups"),
+                 F.min("doc_id").alias("keep_doc_id"))
+            .where(F.col("n_dups") > 1))
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 8,
+                       shingle_k: int = 3) -> DataFrame:
+    """(id, minhash_0..minhash_{n-1}) via explode + min-agg."""
+    exploded = docs.select(
+        id_col, F.explode(token_shingles(F.col(text_col), shingle_k))
+        .alias("shingle"))
+    aggs = [F.min(_hash32(F.col("shingle"), k)).alias(f"minhash_{k}")
+            for k in range(num_hashes)]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        num_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """Band the signature and self-join per (band, band_key) bucket.
+
+    Docs sharing ANY band collide; output is the distinct (a_id < b_id)
+    candidate set.  The bucket join is a plain shuffle hash join on the
+    band key — skewed mega-buckets (boilerplate docs) are exactly what
+    AQE skew-join splitting handles.
+    """
+    n_bands = num_hashes // band_size
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[F.col(f"minhash_{b * band_size + j}")
+                               for j in range(band_size)]).alias("band_key"))
+        for b in range(n_bands)])
+    banded = (signatures
+              .select(F.col(id_col), F.explode(bands).alias("bk"))
+              .select(id_col, "bk.band", "bk.band_key"))
+    a = banded.select(F.col(id_col).alias("a_id"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("b_id"), "band", "band_key")
+    return (a.join(b, ["band", "band_key"])
+            .where(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id").distinct())
+
+
+def minhash_dedup_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", num_hashes: int = 8,
+                        band_size: int = 2, shingle_k: int = 3,
+                        threshold: float = 0.5,
+                        round_decimals: int = 6) -> DataFrame:
+    """Full MinHash→LSH→verify near-dup pipeline:
+    signatures → banded candidate pairs → exact shingle-Jaccard verify.
+
+    The verify join re-attaches each doc's distinct shingle set (array
+    column, no explosion) and computes Jaccard JVM-side — only candidate
+    pairs pay it, never n².
+    """
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
+    shingled = docs.select(F.col(id_col),
+                           token_shingles(F.col(text_col), shingle_k)
+                           .alias("shingles"))
+    a = shingled.select(F.col(id_col).alias("a_id"),
+                        F.col("shingles").alias("a_sh"))
+    b = shingled.select(F.col(id_col).alias("b_id"),
+                        F.col("shingles").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size(F.array_union("a_sh", "b_sh"))
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    return (cands.join(a, "a_id").join(b, "b_id")
+            .select("a_id", "b_id",
+                    F.round(jac, round_decimals).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: per distinct token, md5-derived bit votes;
+    majority per bit position sets the fingerprint bit.
+
+    One explode + one agg; the vote sums are map-side combinable.  Hamming
+    distance between fingerprints then approximates token-set similarity.
+    """
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    exploded = docs.select(id_col, F.explode(toks).alias("token"))
+    h = _hash32(F.col("token"), 0)
+    votes = [
+        F.sum(F.when(h.bitwiseAND(F.lit(1 << k)) != 0, 1).otherwise(-1))
+        .alias(f"v{k}")
+        for k in range(bits)
+    ]
+    voted = exploded.groupBy(id_col).agg(*votes)
+    fp = None
+    for k in range(bits):
+        bit = F.when(F.col(f"v{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return voted.select(id_col, fp.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        bucket_col=None, threshold: float = 0.5,
+                        round_decimals: int = 6) -> DataFrame:
+    """Char-n-gram Jaccard near-dup pairs within a blocking bucket.
+
+    ``bucket_col`` is the blocking key (default: length(text) DIV 50) —
+    near-dups have near-equal lengths, so blocking kills the n² while
+    keeping recall; at corpus scale this is the poor-man's LSH for char
+    similarity.
+    """
+    bucket = bucket_col if bucket_col is not None \
+        else (F.length(text_col) / 50).cast("int")
+    padded = F.concat(F.lit("#" * (n - 1)), F.lower(F.col(text_col)),
+                      F.lit("#" * (n - 1)))
+    idx = F.sequence(F.lit(1), F.length(padded) - (n - 1))
+    grams = F.array_distinct(F.transform(idx, lambda i: padded.substr(i, F.lit(n))))
+    g = docs.select(F.col(id_col), bucket.alias("_bucket"), grams.alias("grams"))
+    a = g.select(F.col(id_col).alias("a_id"), "_bucket",
+                 F.col("grams").alias("a_g"))
+    b = g.select(F.col(id_col).alias("b_id"), "_bucket",
+                 F.col("grams").alias("b_g"))
+    inter = F.size(F.array_intersect("a_g", "b_g"))
+    union = F.size(F.array_union("a_g", "b_g"))
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    return (a.join(b, "_bucket")
+            .where(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", F.round(jac, round_decimals).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def embedding_neardup_pairs(embeddings: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95,
+                            round_decimals: int = 4) -> DataFrame:
+    """Embedding-cosine near-dup pairs above ``threshold``.
+
+    Uses the broadcast-matrix path from similarity_search (one float64
+    matmul per Arrow batch against the broadcast candidate matrix) — the
+    pairwise cross join never materializes.
+    """
+    from palladian_spark.operators.similarity_search import brute_force_pairs
+    return brute_force_pairs(embeddings, id_col=id_col, vec_col=vec_col,
+                             threshold=threshold,
+                             round_decimals=round_decimals)

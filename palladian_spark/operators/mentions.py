@@ -40,6 +40,14 @@ MENTION_SCHEMA = StructType([
     StructField("conf", DoubleType()),
 ])
 
+TOKEN_SCHEMA = StructType([
+    StructField("conv_id", StringType()),
+    StructField("turn_idx", IntegerType()),
+    StructField("tok_idx", IntegerType()),
+    StructField("tok_start", IntegerType()),
+    StructField("token", StringType()),
+])
+
 SENTENCE_SCHEMA = StructType([
     StructField("conv_id", StringType()),
     StructField("turn_idx", IntegerType()),
@@ -148,6 +156,33 @@ def extract_regex_mentions(transcripts: DataFrame, kind: str) -> DataFrame:
     return (transcripts
             .select("conv_id", "turn_idx", "text")
             .mapInPandas(_batch_tagger(tagger), MENTION_SCHEMA))
+
+
+def word_tokens_df(transcripts: DataFrame) -> DataFrame:
+    """Word tokenization with character offsets (WordTokenizer.java:22-34,
+    TOKEN_SPLIT_REGEX Tokenizer.java:27) as an Arrow-batched stage — the
+    offset-preserving variant that JVM ``regexp_extract_all`` can't produce."""
+    from palladian_spark.textproc.tokenize import word_tokens
+
+    def run(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            out = {k: [] for k in
+                   ("conv_id", "turn_idx", "tok_idx", "tok_start", "token")}
+            for conv_id, turn_idx, text in zip(
+                    pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                if text is None:
+                    continue
+                for i, tok in enumerate(word_tokens(text)):
+                    out["conv_id"].append(conv_id)
+                    out["turn_idx"].append(turn_idx)
+                    out["tok_idx"].append(i)
+                    out["tok_start"].append(tok.start)
+                    out["token"].append(tok.value)
+            yield pd.DataFrame(out)
+
+    return (ensure_map_parallelism(transcripts)
+            .select("conv_id", "turn_idx", "text")
+            .mapInPandas(run, TOKEN_SCHEMA))
 
 
 def split_sentences_df(transcripts: DataFrame, mask_entities: bool = True) -> DataFrame:

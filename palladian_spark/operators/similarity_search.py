@@ -78,6 +78,50 @@ def brute_force_top_k(embeddings: DataFrame, k: int = 1,
     return embeddings.select(id_col, vec_col).mapInPandas(run, TOPK_SCHEMA)
 
 
+PAIRS_SCHEMA = StructType([
+    StructField("a_id", LongType()),
+    StructField("b_id", LongType()),
+    StructField("cos_sim", DoubleType()),
+])
+
+
+def brute_force_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                      round_decimals: int = 4,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """All (a_id < b_id) pairs with cosine ≥ threshold — the embedding
+    near-dup primitive.  Same broadcast-matrix shape as brute_force_top_k:
+    one float64 matmul per Arrow batch, thresholded rows emitted sparsely,
+    no pairwise cross join ever materializes."""
+    spark = embeddings.sparkSession
+    rows = embeddings.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    bc = spark.sparkContext.broadcast((ids, unit))
+
+    def run(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cand_ids, cand_unit = bc.value
+        for pdf in iterator:
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0] = 1.0
+            sims = np.round((q / qn[:, None]) @ cand_unit.T, round_decimals)
+            # keep upper triangle (a_id < b_id) at/above threshold
+            keep = (sims >= threshold) & (q_ids[:, None] < cand_ids[None, :])
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame({
+                "a_id": q_ids[ai].astype(np.int64),
+                "b_id": cand_ids[bj].astype(np.int64),
+                "cos_sim": sims[ai, bj].astype(np.float64),
+            })
+
+    return embeddings.select(id_col, vec_col).mapInPandas(run, PAIRS_SCHEMA)
+
+
 def lsh_bucketed_top_k(embeddings: DataFrame, k: int = 1, n_planes: int = 8,
                        seed: int = 42, round_decimals: int = 4,
                        id_col: str = "vec_id",

@@ -1,0 +1,120 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, fingerprinting.
+
+All pure-Catalyst expressions (no UDFs): these run per-document at corpus
+scale, so every one must stay inside whole-stage codegen.  Each operator's
+formula is deliberately closed-form so a SQL oracle can replicate it
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# marker-word lists for the n-gram/stopword language heuristic.  Order is
+# the deterministic tie-break (first listed wins on equal scores).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "für", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "avec", "une"],
+    "es": ["el", "la", "los", "las", "es", "no", "por", "con", "una"],
+    "zh": ["的", "是", "不", "了", "在", "有", "我", "他"],
+}
+
+# BPE-ish token pattern: letter runs, digit runs, single other-symbols —
+# the pre-tokenization regex shape used by byte-pair encoders, kept
+# RE2-compatible so DuckDB's regexp_extract_all matches Java's exactly.
+BPE_TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _tokens(text_col):
+    return F.split(text_col, " ")
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Marker-stopword language scoring: per language, the count of marker
+    tokens in the document; argmax with first-listed tie-break.  The
+    distributed form of the reference's dictionary-classifier language mode
+    (Palladian ships language profiles through the same text classifier —
+    this is the cheap closed-form variant for corpus triage)."""
+    toks = _tokens(F.lower(F.col(text_col)))
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        score = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        score_cols.append(score.alias(f"score_{lang}"))
+    scored = docs.select(id_col, *score_cols)
+
+    langs = list(LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_score = F.col(f"score_{langs[0]}")
+    for lang in langs[1:]:
+        cond = F.col(f"score_{lang}") > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, F.col(f"score_{lang}")).otherwise(best_score)
+    return scored.select(
+        id_col, best.alias("lang_pred"),
+        best_score.cast("int").alias("marker_hits"))
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Heuristic document-quality features + a composite score:
+    token count, distinct ratio, mean token length, stopword ratio,
+    non-alpha char ratio.  quality = distinct_ratio × (1 − nonalpha_ratio)
+    clamped stopword window [0.05, 0.6] bonus — closed-form, oracle-checkable."""
+    toks = _tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_chars = F.length(text_col)
+    stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "and", "of")))
+    nonalpha = (n_chars
+                - F.length(F.regexp_replace(text_col, r"[^a-zA-Z ]", "")))
+    distinct_ratio = n_distinct.cast("double") / n_tokens
+    stop_ratio = stop.cast("double") / n_tokens
+    nonalpha_ratio = nonalpha.cast("double") / n_chars
+    mean_tok_len = ((n_chars - (n_tokens - 1)).cast("double") / n_tokens)
+    in_window = (stop_ratio >= 0.05) & (stop_ratio <= 0.6)
+    quality = (distinct_ratio * (1.0 - nonalpha_ratio)
+               * F.when(in_window, F.lit(1.0)).otherwise(F.lit(0.5)))
+    return docs.select(
+        id_col,
+        n_tokens.cast("int").alias("n_tokens"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(nonalpha_ratio, 6).alias("nonalpha_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(quality, 6).alias("quality"))
+
+
+def bpe_token_counts(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Token counting with the BPE-ish pre-tokenization regex plus a plain
+    whitespace count — the 'how many tokens will training see' estimator."""
+    bpe = F.regexp_extract_all(F.lower(F.col(text_col)),
+                               F.lit(f"({BPE_TOKEN_PATTERN})"), 1)
+    ws = _tokens(F.col(text_col))
+    return docs.select(
+        id_col,
+        F.size(bpe).cast("int").alias("n_bpe_tokens"),
+        F.size(ws).cast("int").alias("n_ws_tokens"),
+        F.size(F.array_distinct(bpe)).cast("int").alias("n_distinct_bpe"))
+
+
+def rolling_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", window: int = 8,
+                         keep_mod: int = 16) -> DataFrame:
+    """Winnowing-style document fingerprints: hash every ``window``-token
+    shingle, keep those ≡ 0 (mod keep_mod) — a deterministic sparse
+    fingerprint set for containment/overlap detection (the scalable cousin
+    of md5-whole-doc fingerprinting)."""
+    toks = _tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1)))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, window)))
+    hashes = F.transform(shingles, lambda s: F.conv(
+        F.substring(F.md5(s), 1, 8), 16, 10).cast("long"))
+    kept = F.array_distinct(
+        F.filter(hashes, lambda h: h % keep_mod == 0))
+    return (docs
+            .select(id_col, F.explode(kept).alias("fingerprint")))
