@@ -419,6 +419,29 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width", "height", "n_frames")
 
 
+def _q_pos_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule POS tagging (AbstractPosTagger shape, SURVEY.md §2.7): real
+    tokenizer offsets + one Catalyst CASE chain for the tags."""
+    from palladian_spark.operators.pos_df import pos_tag_df
+    return pos_tag_df(_tpch_transcripts(spark, sf_dir)) \
+        .select("conv_id", "turn_idx", "tok_idx", "tok_start", "token", "pos")
+
+
+def _q_np_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NP chunking over POS tags (PhraseChunker.java:11-25 interface) as
+    gaps-and-islands.  Turns are deduped first (duplicate (conv, turn)
+    keys would interleave token windows)."""
+    from pyspark.sql import Window
+    from palladian_spark.operators.pos_df import np_chunks_df, pos_tag_df
+    t = _tpch_transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("text")
+    t = (t.withColumn("_rn", F.row_number().over(w))
+         .where(F.col("_rn") == 1).drop("_rn"))
+    return np_chunks_df(pos_tag_df(t)).select(
+        "conv_id", "turn_idx", "chunk_start", "chunk_end", "phrase",
+        "chunk_tag")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "candidates_stringtagger": _q_candidates,
@@ -450,6 +473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": _q_bpe_tokens,
         "rolling_fingerprints": _q_rolling_fingerprints,
         "multimodal_meta": _q_multimodal_meta,
+        "pos_tag": _q_pos_tag,
+        "np_chunks": _q_np_chunks,
     }
 
 
@@ -875,6 +900,37 @@ WITH tok AS (
   FROM sh
 )
 SELECT doc_id, unnest(hs) AS fingerprint FROM h
+""",
+        "pos_tag": _BASE_CTE + """
+, m AS (SELECT conv_id, turn_idx, cust, supp, nat,
+               length(cust) lc, length(supp) ls, length(nat) ln FROM base)
+SELECT conv_id, turn_idx, CAST(0 AS INT) tok_idx, CAST(0 AS INT) tok_start,
+       'Customer' AS token, 'NNP' AS pos FROM m
+UNION ALL SELECT conv_id, turn_idx, 1, 9, substr(cust, 10), 'NNP' FROM m
+UNION ALL SELECT conv_id, turn_idx, 2, lc + 1, 'works', 'VBZ' FROM m
+UNION ALL SELECT conv_id, turn_idx, 3, lc + 7, 'for', 'IN' FROM m
+UNION ALL SELECT conv_id, turn_idx, 4, lc + 11, 'Supplier', 'NNP' FROM m
+UNION ALL SELECT conv_id, turn_idx, 5, lc + 20, substr(supp, 10), 'NNP' FROM m
+UNION ALL SELECT conv_id, turn_idx, 6, lc + ls + 12, 'in', 'IN' FROM m
+UNION ALL SELECT conv_id, turn_idx, 7, lc + ls + 15, 'Nation', 'NNP' FROM m
+UNION ALL SELECT conv_id, turn_idx, 8, lc + ls + 22, substr(nat, 8), 'NNP' FROM m
+UNION ALL SELECT conv_id, turn_idx, 9, lc + ls + ln + 15, '.', '.' FROM m
+""",
+        "np_chunks": _BASE_CTE + """
+, dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY cust || ' works for ' || supp || ' in ' || nat || '.') rn
+    FROM base)
+  WHERE rn = 1
+), m AS (SELECT conv_id, turn_idx, cust, supp, nat,
+               length(cust) lc, length(supp) ls, length(nat) ln FROM dedup)
+SELECT conv_id, turn_idx, CAST(0 AS INT) chunk_start, CAST(lc AS INT)
+         chunk_end, cust AS phrase, 'NP' AS chunk_tag FROM m
+UNION ALL SELECT conv_id, turn_idx, lc + 11, lc + 11 + ls, supp, 'NP' FROM m
+UNION ALL SELECT conv_id, turn_idx, lc + ls + 15, lc + ls + 15 + ln, nat,
+       'NP' FROM m
 """,
         "multimodal_meta": """
 WITH m AS (
