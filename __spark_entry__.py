@@ -419,6 +419,23 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width", "height", "n_frames")
 
 
+def _q_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DictionaryTagger gazetteer scan (DictionaryTagger.java:24-69),
+    inverted to tokenize-once + broadcast n-gram join (SURVEY.md §2.3).
+    Turns deduped first (de-nesting groups per (conv, turn))."""
+    from pyspark.sql import Window
+    from palladian_spark.operators.mentions import dictionary_tag_df
+    t = _tpch_transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("text")
+    t = (t.withColumn("_rn", F.row_number().over(w))
+         .where(F.col("_rn") == 1).drop("_rn"))
+    hits = dictionary_tag_df(
+        t, _tpch_entity_dict(spark, sf_dir).select("surface", "concept"))
+    return hits.select("conv_id", "turn_idx",
+                       F.col("start").alias("m_start"),
+                       F.col("end").alias("m_end"), "value", "tag")
+
+
 def _q_pos_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule POS tagging (AbstractPosTagger shape, SURVEY.md §2.7): real
     tokenizer offsets + one Catalyst CASE chain for the tags."""
@@ -475,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         "pos_tag": _q_pos_tag,
         "np_chunks": _q_np_chunks,
+        "gazetteer_scan": _q_gazetteer,
     }
 
 
@@ -900,6 +918,28 @@ WITH tok AS (
   FROM sh
 )
 SELECT doc_id, unnest(hs) AS fingerprint FROM h
+""",
+        "gazetteer_scan": _BASE_CTE + """
+, dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY cust || ' works for ' || supp || ' in ' || nat || '.') rn
+    FROM base)
+  WHERE rn = 1
+)
+SELECT conv_id, turn_idx, 0 AS m_start,
+       CAST(length(cust) AS INT) AS m_end, cust AS value, 'PER' AS tag
+FROM dedup
+UNION ALL
+SELECT conv_id, turn_idx, CAST(length(cust) + 11 AS INT),
+       CAST(length(cust) + 11 + length(supp) AS INT), supp, 'ORG'
+FROM dedup
+UNION ALL
+SELECT conv_id, turn_idx, CAST(length(cust) + 15 + length(supp) AS INT),
+       CAST(length(cust) + 15 + length(supp) + length(nat) AS INT), nat,
+       'LOC'
+FROM dedup
 """,
         "pos_tag": _BASE_CTE + """
 , m AS (SELECT conv_id, turn_idx, cust, supp, nat,

@@ -28,17 +28,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     spark = get_spark("palladian-bench", master=f"local[{cpus}]",
                       shuffle_partitions=2 * cpus)
-    # warm the JVM and the Python worker pool once with a tiny Arrow job so
-    # the first timed query doesn't pay the 32-worker import cold start
-    import pandas as _pd
-
-    def _noop(it):
-        for pdf in it:
-            yield pdf
-
-    (spark.range(spark.sparkContext.defaultParallelism * 4)
-     .repartition(spark.sparkContext.defaultParallelism * 2)
-     .mapInPandas(_noop, "id long").count())
+    # warm the JVM and the Python worker pool with the FULL kg path on the
+    # tiny sf so the first timed query doesn't pay the per-session
+    # 32-worker import + broadcast-fetch cold start
+    queries_warm = entrymod.queries()
+    queries_warm["kg_triples"](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}

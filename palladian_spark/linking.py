@@ -45,6 +45,42 @@ _FUZZY_SCHEMA = StructType([
 ])
 
 
+def fuzzy_link_df(values: DataFrame, entity_dict: DataFrame,
+                  metric: str = "jaro_winkler",
+                  threshold: float = 0.9) -> DataFrame:
+    """Similarity-link a DataFrame of distinct surface ``value``s against
+    the broadcast dictionary: one Arrow-batched pass, per-value argmax,
+    O(values × dictionary) similarity calls total."""
+    spark = values.sparkSession
+    dict_rows: List[Tuple[str, str, str]] = [
+        (r["entity_id"], r["surface"], r["concept"])
+        for r in entity_dict.select("entity_id", "surface", "concept").collect()
+    ]
+    dict_bc = spark.sparkContext.broadcast(dict_rows)
+    sim_fn = METRICS[metric]
+
+    def fuzzy_match(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        entries = dict_bc.value
+        for pdf in iterator:
+            out = {k: [] for k in
+                   ("value", "entity_id", "canonical", "concept", "link_sim")}
+            for value in pdf["value"]:
+                best, best_sim = None, threshold
+                for entity_id, surface, concept in entries:
+                    s = sim_fn(value, surface)
+                    if s >= best_sim:
+                        best, best_sim = (entity_id, surface, concept), s
+                if best is not None:
+                    out["value"].append(value)
+                    out["entity_id"].append(best[0])
+                    out["canonical"].append(best[1])
+                    out["concept"].append(best[2])
+                    out["link_sim"].append(best_sim)
+            yield pd.DataFrame(out)
+
+    return values.select("value").mapInPandas(fuzzy_match, _FUZZY_SCHEMA)
+
+
 def link_mentions(mentions: DataFrame, entity_dict: DataFrame,
                   metric: str = "jaro_winkler",
                   threshold: float = 0.9,
@@ -78,36 +114,9 @@ def link_mentions(mentions: DataFrame, entity_dict: DataFrame,
                 .drop("_key"))
 
     # fuzzy pass over distinct unmatched surface forms only
-    spark = mentions.sparkSession
-    dict_rows: List[Tuple[str, str, str]] = [
-        (r["entity_id"], r["surface"], r["concept"])
-        for r in entity_dict.select("entity_id", "surface", "concept").collect()
-    ]
-    dict_bc = spark.sparkContext.broadcast(dict_rows)
-    sim_fn = METRICS[metric]
-
-    def fuzzy_match(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        entries = dict_bc.value
-        for pdf in iterator:
-            out = {k: [] for k in
-                   ("value", "entity_id", "canonical", "concept", "link_sim")}
-            for value in pdf["value"]:
-                best, best_sim = None, threshold
-                for entity_id, surface, concept in entries:
-                    s = sim_fn(value, surface)
-                    if s >= best_sim:
-                        best, best_sim = (entity_id, surface, concept), s
-                if best is not None:
-                    out["value"].append(value)
-                    out["entity_id"].append(best[0])
-                    out["canonical"].append(best[1])
-                    out["concept"].append(best[2])
-                    out["link_sim"].append(best_sim)
-            yield pd.DataFrame(out)
-
     misses = (exact.where(F.col("_entity_id").isNull())
               .select("value").distinct())
-    fuzzy_links = misses.mapInPandas(fuzzy_match, _FUZZY_SCHEMA)
+    fuzzy_links = fuzzy_link_df(misses, entity_dict, metric, threshold)
 
     resolved = (exact
                 .join(F.broadcast(fuzzy_links

@@ -201,10 +201,23 @@ def classify_candidates(anns: Set[Annotation], model: NerModel,
     """#9 — annotation-dictionary classifier; keep iff P(NO_ENTITY) < 0.5
     (PalladianNer.java:446-456).  ``cache`` memoizes per surface form —
     classification depends only on the value, and surfaces repeat heavily
-    across a corpus."""
+    across a corpus.
+
+    Fast path: when the model's annotation dictionary has no NO_ENTITY
+    category (it wasn't Complete-trained), the gate can never drop a
+    candidate, and for values with an entity-dictionary hit the dictionary
+    switch (#11) replaces the whole distribution downstream — so for those
+    the n-gram classification result is unobservable and is skipped.
+    Output-equivalent to the reference order.
+    """
     out: List[ClassifiedAnnotation] = []
     scorer = DefaultScorer()
+    gate_can_drop = NO_ENTITY in model.annotation_dictionary.document_counts \
+        if model.annotation_dictionary is not None else False
     for ann in sort_annotations(list(anns)):
+        if not gate_can_drop and model.entity_entries(ann.value):
+            out.append(ClassifiedAnnotation(ann.start, ann.value, ann.tag, {}))
+            continue
         probs = cache.get(ann.value) if cache is not None else None
         if probs is None:
             probs = classify(ann.value, model.annotation_dictionary, scorer)
@@ -313,8 +326,14 @@ def combine_annotations(anns: List[ClassifiedAnnotation]) -> List[ClassifiedAnno
 def get_annotations(text: str, model: NerModel, *, tag_urls_too: bool = True,
                     tag_dates_too: bool = True,
                     classify_cache: Optional[Dict[str, Dict[str, float]]] = None,
+                    url_annotations: Optional[List[Annotation]] = None,
+                    date_annotations: Optional[List[Annotation]] = None,
                     ) -> List[ClassifiedAnnotation]:
-    """The production tagging path (PalladianNer.java:459-473)."""
+    """The production tagging path (PalladianNer.java:459-473).
+
+    ``url_annotations`` / ``date_annotations`` let a fused caller (the
+    triple-extraction kernel, which also needs them as sentence masks)
+    pass precomputed scans instead of re-running the regexes."""
     if model.language_mode == LANGUAGE_MODE_INDEPENDENT:
         candidates = set(regex_tag(text, _TOKEN_PATTERN, "CANDIDATE"))
     else:
@@ -328,11 +347,14 @@ def get_annotations(text: str, model: NerModel, *, tag_urls_too: bool = True,
         classified = combine_annotations(classified)
 
     if tag_urls_too:
+        urls = url_annotations if url_annotations is not None else tag_urls(text)
         classified += [ClassifiedAnnotation(a.start, a.value, a.tag, {a.tag: 1.0})
-                       for a in tag_urls(text)]
+                       for a in urls]
     if tag_dates_too:
+        dates = (date_annotations if date_annotations is not None
+                 else tag_dates(text))
         classified += [ClassifiedAnnotation(a.start, a.value, a.tag, {a.tag: 1.0})
-                       for a in tag_dates(text)]
+                       for a in dates]
 
     # #15 removeNested (Annotations.java:43-56)
     as_plain = [Annotation(a.start, a.value, a.tag) for a in classified]

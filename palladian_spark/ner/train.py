@@ -127,3 +127,56 @@ def train_english(text: str, annotations: List[Annotation],
     model.entity_dictionary = build_entity_dictionary(annotations, min_count)
     model.annotation_dictionary = build_annotation_dictionary(annotations, min_count)
     return model
+
+
+def equalize_type_counts(annotations: List[Annotation]) -> List[Annotation]:
+    """Downsample every tag to the minimum per-tag count
+    (PalladianNer.java:390-404) — deterministic: annotations are taken in
+    (start, −end, value) order per tag, so the same input always yields the
+    same subsample (the Spark form is a row_number window ≤ k)."""
+    by_tag: dict[str, List[Annotation]] = {}
+    for ann in annotations:
+        by_tag.setdefault(ann.tag, []).append(ann)
+    if not by_tag:
+        return []
+    k = min(len(v) for v in by_tag.values())
+    out: List[Annotation] = []
+    for tag in sorted(by_tag):
+        ordered = sorted(by_tag[tag], key=lambda a: (a.start, -a.end, a.value))
+        out.extend(ordered[:k])
+    return sorted(out, key=lambda a: (a.start, -a.end, a.value))
+
+
+def complete_retrain(text: str, gold: List[Annotation],
+                     model: NerModel) -> NerModel:
+    """Complete-mode second pass (PalladianNer.java:418-436): self-evaluate
+    on the training text; taggings that hit NO gold span (ERROR1) become
+    ``###NO_ENTITY###`` training instances for a rebuilt annotation
+    dictionary, and ERROR1 values that never appear as gold values join the
+    removeAnnotations set."""
+    from palladian_spark.ner.tag import get_annotations
+    from palladian_spark.textproc.taggers import NO_ENTITY
+
+    predicted = get_annotations(text, model)
+    gold_sorted = sorted(gold, key=lambda a: (a.start, -a.end))
+    gold_values = {g.value.lower() for g in gold}
+
+    def hits_gold(p) -> bool:
+        for g in gold_sorted:
+            if g.start >= p.end:
+                break
+            if p.start < g.end and g.start < p.end:
+                return True
+        return False
+
+    error1 = [p for p in predicted if not hits_gold(p)]
+
+    builder = DictionaryBuilder(ANNOTATION_FEATURE_SETTING)
+    for ann in gold:
+        builder.add_text(ann.value, ann.tag)
+    for p in error1:
+        builder.add_text(p.value, NO_ENTITY)
+    model.annotation_dictionary = builder.create()
+    model.remove_annotations = {
+        p.value.lower() for p in error1 if p.value.lower() not in gold_values}
+    return model

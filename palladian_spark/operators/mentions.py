@@ -185,6 +185,60 @@ def word_tokens_df(transcripts: DataFrame) -> DataFrame:
             .mapInPandas(run, TOKEN_SCHEMA))
 
 
+def dictionary_tag_df(transcripts: DataFrame, entity_dict: DataFrame,
+                      max_words: int = 4, de_nest: bool = True) -> DataFrame:
+    """Gazetteer scan (DictionaryTagger, extraction/DictionaryTagger.java:
+    24-69) inverted for scale: instead of the reference's per-pattern
+    rescan (O(dict × text)), the text is tokenized ONCE (Arrow stage), each
+    turn emits its 1..max_words token n-grams with offsets, and the n-grams
+    broadcast-hash-join against the normalized dictionary — O(text) scan +
+    one broadcast join, the SURVEY.md §2.3 prescription.  ``entity_dict``
+    columns: (surface, concept)."""
+    from palladian_spark.textproc.tokenize import word_tokens
+
+    ngram_schema = StructType([
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("start", IntegerType()),
+        StructField("end", IntegerType()),
+        StructField("value", StringType()),
+    ])
+
+    def emit_ngrams(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            out = {k: [] for k in ("conv_id", "turn_idx", "start", "end", "value")}
+            for conv_id, turn_idx, text in zip(
+                    pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = word_tokens(text)
+                for i in range(len(toks)):
+                    for n in range(1, max_words + 1):
+                        if i + n > len(toks):
+                            break
+                        start = toks[i].start
+                        end = toks[i + n - 1].end
+                        out["conv_id"].append(conv_id)
+                        out["turn_idx"].append(turn_idx)
+                        out["start"].append(start)
+                        out["end"].append(end)
+                        out["value"].append(text[start:end])
+            yield pd.DataFrame(out)
+
+    ngrams = (ensure_map_parallelism(transcripts)
+              .select("conv_id", "turn_idx", "text")
+              .mapInPandas(emit_ngrams, ngram_schema))
+    dict_norm = F.broadcast(
+        entity_dict.select(F.lower(F.col("surface")).alias("_key"),
+                           F.col("concept").alias("_concept"))
+        .groupBy("_key").agg(F.min("_concept").alias("_concept")))
+    hits = (ngrams
+            .join(dict_norm, F.lower(ngrams.value) == F.col("_key"))
+            .select("conv_id", "turn_idx", "start", "end", "value",
+                    F.col("_concept").alias("tag"), F.lit(1.0).alias("conf")))
+    return remove_nested_df(hits) if de_nest else hits
+
+
 def split_sentences_df(transcripts: DataFrame, mask_entities: bool = True) -> DataFrame:
     """Sentence segmentation per turn (PalladianSentenceDetector port):
     URLs/dates/smileys are masked so their dots don't split sentences."""

@@ -69,14 +69,23 @@ TRIPLE_SCHEMA = StructType([
 ])
 
 
+def compile_patterns(patterns: Sequence[PredicatePattern]):
+    return [(p, regex.compile(p.window_regex)) for p in patterns]
+
+
 def triples_from_mentions(text: str, mentions: Sequence[ClassifiedAnnotation],
-                          patterns: Sequence[PredicatePattern]) -> List[tuple]:
-    """Per-turn kernel: same-sentence ordered mention pairs × patterns."""
+                          patterns: Sequence[PredicatePattern],
+                          masks=None, compiled=None) -> List[tuple]:
+    """Per-turn kernel: same-sentence ordered mention pairs × patterns.
+    ``masks``/``compiled`` let the fused caller share the regex scans and
+    compiled patterns across the whole batch."""
     if not mentions:
         return []
-    masks = tag_urls(text) + tag_dates(text) + tag_smileys(text)
+    if masks is None:
+        masks = tag_urls(text) + tag_dates(text) + tag_smileys(text)
     out: List[tuple] = []
-    compiled = [(p, regex.compile(p.window_regex)) for p in patterns]
+    if compiled is None:
+        compiled = compile_patterns(patterns)
     for sent in split_sentences(text, masks):
         s_lo, s_hi = sent.start, sent.start + len(sent.value)
         in_sent = [m for m in mentions if m.start >= s_lo and m.end <= s_hi]
@@ -119,6 +128,7 @@ def extract_triples(transcripts: DataFrame, model: NerModel,
     def run(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m = model_bc.value
         cache: dict = {}
+        compiled = compile_patterns(patterns)
         cols = ("conv_id", "turn_idx", "subj", "pred", "obj", "subj_start",
                 "subj_end", "obj_start", "obj_end", "conf")
         for pdf in iterator:
@@ -127,8 +137,17 @@ def extract_triples(transcripts: DataFrame, model: NerModel,
                     pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
                 if text is None:
                     continue
-                mentions = get_annotations(text, m, classify_cache=cache)
-                for row in triples_from_mentions(text, mentions, patterns):
+                # one scan each for url/date/smiley: reused as NER add-on
+                # taggers AND as sentence masks (they were previously run
+                # twice per turn)
+                urls, dates, smileys = (tag_urls(text), tag_dates(text),
+                                        tag_smileys(text))
+                mentions = get_annotations(text, m, classify_cache=cache,
+                                           url_annotations=urls,
+                                           date_annotations=dates)
+                for row in triples_from_mentions(
+                        text, mentions, patterns,
+                        masks=urls + dates + smileys, compiled=compiled):
                     out["conv_id"].append(conv_id)
                     out["turn_idx"].append(turn_idx)
                     for k, v in zip(cols[2:], row):
@@ -147,51 +166,79 @@ def canonicalize_triples(triples: DataFrame, entity_dict: DataFrame,
     """Replace subj/obj surface forms with canonical entity surfaces via the
     linking stage (broadcast joins), then dedup per (conv, turn, s, p, o).
 
-    Scale notes: the raw triple stream is persisted (memory+disk) before
-    linking — the linker needs DISTINCT surfaces and the final join needs
-    the rows again, and without pinning, Spark would re-run the expensive
-    upstream NER stage for each.  (On a cluster the raw stream is the
-    checkpointed ``triples_raw`` lineage table — see pipeline.run_pipeline —
-    which serves the same purpose durably.)  subj and obj surfaces are
-    linked in ONE pass over their union, and the surface→canonical mapping
-    is broadcast back, so the only shuffles are the distinct and the final
-    dedup agg.
+    Scale design, mapping-first (measured: the naive distinct-then-link
+    shape spent 17 of 27 s re-shuffling the triple stream at sf0.1, and a
+    per-row normalize-and-join variant left ~16 s of poorly-scaling work
+    at 4M turns):
+
+      1. ONE pass over the raw stream computes the DISTINCT surface set of
+         subj ∪ obj — map-side partial aggregation shrinks it to the
+         entity vocabulary before the (tiny) shuffle.
+      2. The surface→canonical mapping is resolved on that small set:
+         exact via broadcast hash join on the normalized key, fuzzy via
+         one Arrow pass over the remaining misses.  The mapping is
+         persisted + materialized so the two downstream broadcast builds
+         read a cached table instead of re-deriving it from the stream.
+      3. ONE final pass applies the broadcast mapping to both columns and
+         runs the dedup aggregation — the only full-width shuffle.
+
+    The raw stream is persisted because passes 1 and 3 both read it (on a
+    cluster the checkpointed ``triples`` lineage table serves this durably
+    — pipeline.run_pipeline).
     """
-    from palladian_spark.linking import link_mentions
+    from palladian_spark.linking import fuzzy_link_df, normalize_surface
 
     if persist:
         from pyspark import StorageLevel
         triples = triples.persist(StorageLevel.MEMORY_AND_DISK)
 
-    surfaces = (triples.select(F.col("subj").alias("value"))
-                .unionByName(triples.select(F.col("obj").alias("value")))
-                .distinct()
-                .withColumn("conv_id", F.lit(""))
-                .withColumn("turn_idx", F.lit(0)))
-    mapping = (link_mentions(surfaces, entity_dict, metric, threshold)
-               .where(F.col("canonical").isNotNull())
-               .select(F.col("value").alias("_surface"),
-                       F.col("canonical").alias("_canon")))
+    # 1. distinct surfaces (map-side combinable)
+    surfaces = (triples
+                .select(F.explode(F.array("subj", "obj")).alias("value"))
+                .distinct())
+
+    # 2. resolve the mapping on the small distinct set
+    dict_norm = F.broadcast(
+        entity_dict
+        .groupBy(normalize_surface(F.col("surface")).alias("_key"))
+        .agg(F.min("surface").alias("_canon")))
+    resolved = (surfaces
+                .join(dict_norm, normalize_surface(F.col("value")) == F.col("_key"),
+                      "left"))
+    mapping = resolved.where(F.col("_canon").isNotNull()) \
+        .select("value", F.col("_canon").alias("canon"))
+    if fuzzy_enabled(metric):
+        misses = resolved.where(F.col("_canon").isNull()).select("value")
+        fuzzy_map = (fuzzy_link_df(misses, entity_dict, metric, threshold)
+                     .select("value", F.col("canonical").alias("canon")))
+        mapping = mapping.unionByName(fuzzy_map)
+    mapping = mapping.persist()
+    mapping.count()  # materialize once; both broadcast builds read the cache
     mapping = F.broadcast(mapping)
 
+    # 3. single final pass: apply mapping to both columns + dedup agg
     out = (triples
-           .join(mapping.withColumnRenamed("_surface", "_s_surface")
-                        .withColumnRenamed("_canon", "_s_canon"),
-                 triples.subj == F.col("_s_surface"), "left")
-           .withColumn("subj", F.coalesce("_s_canon", "subj"))
-           .drop("_s_surface", "_s_canon"))
+           .join(mapping.withColumnRenamed("value", "_sv")
+                        .withColumnRenamed("canon", "_sc"),
+                 triples.subj == F.col("_sv"), "left")
+           .withColumn("subj", F.coalesce("_sc", "subj"))
+           .drop("_sv", "_sc"))
     out = (out
-           .join(mapping.withColumnRenamed("_surface", "_o_surface")
-                        .withColumnRenamed("_canon", "_o_canon"),
-                 out.obj == F.col("_o_surface"), "left")
-           .withColumn("obj", F.coalesce("_o_canon", "obj"))
-           .drop("_o_surface", "_o_canon"))
+           .join(mapping.withColumnRenamed("value", "_ov")
+                        .withColumnRenamed("canon", "_oc"),
+                 out.obj == F.col("_ov"), "left")
+           .withColumn("obj", F.coalesce("_oc", "obj"))
+           .drop("_ov", "_oc"))
     return (out.groupBy("conv_id", "turn_idx", "subj", "pred", "obj")
             .agg(F.min("subj_start").alias("subj_start"),
                  F.min("subj_end").alias("subj_end"),
                  F.min("obj_start").alias("obj_start"),
                  F.min("obj_end").alias("obj_end"),
                  F.max("conf").alias("conf")))
+
+
+def fuzzy_enabled(metric: Optional[str]) -> bool:
+    return metric is not None and metric != "none"
 
 
 def cooccurrence_pairs(mentions: DataFrame, sentences: DataFrame) -> DataFrame:

@@ -31,12 +31,22 @@ def get_spark(app_name: str = "palladian-spark", master: str | None = None,
         .master(master)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # keep small shuffles parallel: with the default 1 MB floor AQE
+        # coalesces a ~30 MB aggregate down to a handful of partitions and
+        # the reduce side runs nearly serial (measured 2× on the dedup
+        # agg); at cluster scale partitions are far above either floor so
+        # this only affects small/intermediate shuffles
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_size))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode = driver IS the executor: size the heap for cached
+        # intermediate tables + 32 concurrent tasks (8g measurably GC-bound
+        # on multi-million-row runs)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
