@@ -204,10 +204,14 @@ def _q_ngram_dice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # materialize the gram arrays per part BEFORE the join — inside the
     # join projection Catalyst would recompute them once per PAIR (O(pairs)
-    # instead of O(parts) gram builds: 343s → seconds at sf0.1)
+    # instead of O(parts) gram builds: 343s → seconds at sf0.1).  Grams are
+    # hashed to int64 once per part so the per-pair intersection compares
+    # ints, not strings (collision odds over ~70 values are ~2⁻⁵², so
+    # |intersect| is unchanged and the string-based oracle still matches).
+    gexpr = grams(F.col("p_name"))
     g = part.select("p_partkey", "p_brand", F.lower("p_name").alias("lname"),
-                    grams(F.col("p_name")).alias("grams"),
-                    F.size(grams(F.col("p_name"))).alias("n_grams"))
+                    F.transform(gexpr, lambda s: F.xxhash64(s)).alias("grams"),
+                    F.size(gexpr).alias("n_grams"))
     a = g.select(F.col("p_partkey").alias("a_key"), F.col("p_brand").alias("a_brand"),
                  F.col("lname").alias("a_lname"), F.col("grams").alias("a_g"),
                  F.col("n_grams").alias("a_n"))
