@@ -423,6 +423,41 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width", "height", "n_frames")
 
 
+def _q_ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-1 neighbor via random-hyperplane LSH buckets — the
+    scale path for similarity search (exact search per bucket only).
+    Approximate by design → no SQL oracle; the driver's rows-only check
+    applies, and recall vs the exact baseline is asserted in pytest."""
+    from palladian_spark.operators.similarity_search import lsh_bucketed_top_k
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_bucketed_top_k(emb, k=1, n_planes=8, seed=42) \
+        .select("a_id", "b_id", "cos_sim")
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization of the events stream (30-min
+    inactivity timeout) — the conversation-segmentation shape at scale."""
+    from palladian_spark.operators.events import sessionize
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev).select("user_id", "session_id", "session_start",
+                                 "session_end", "n_events", "total_value")
+
+
+def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour rollup per event_type (batch twin of the streaming
+    watermarked agg)."""
+    from palladian_spark.operators.events import windowed_event_counts
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_event_counts(ev)
+
+
+def _q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity profile in one hash agg."""
+    from palladian_spark.operators.events import user_activity
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return user_activity(ev)
+
+
 def _q_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DictionaryTagger gazetteer scan (DictionaryTagger.java:24-69),
     inverted to tokenize-once + broadcast n-gram join (SURVEY.md §2.3).
@@ -497,6 +532,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pos_tag": _q_pos_tag,
         "np_chunks": _q_np_chunks,
         "gazetteer_scan": _q_gazetteer,
+        "sessionize_events": _q_sessionize,
+        "event_windows": _q_event_windows,
+        "user_activity": _q_user_activity,
+        # approximate by design: no oracle_sql entry → rows-only check
+        "ann_lsh_top1": _q_ann_lsh_top1,
     }
 
 
@@ -922,6 +962,36 @@ WITH tok AS (
   FROM sh
 )
 SELECT doc_id, unnest(hs) AS fingerprint FROM h
+""",
+        "sessionize_events": """
+WITH o AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) sid
+  FROM o
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM s GROUP BY 1, 2
+""",
+        "event_windows": """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+       event_type, count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2, 3
+""",
+        "user_activity": """
+SELECT user_id, count(*) AS n_events,
+       count(DISTINCT event_type) AS n_event_types,
+       min(ts) AS first_seen, max(ts) AS last_seen,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY 1
 """,
         "gazetteer_scan": _BASE_CTE + """
 , dedup AS (
