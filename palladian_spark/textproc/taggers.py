@@ -42,8 +42,12 @@ class Annotation(NamedTuple):
 
 
 def _replace_protected_space(text: str) -> str:
-    """NBSP (U+00A0) → plain space (StringHelper.java:638-640)."""
-    return text.replace(" ", " ")
+    """NBSP (U+00A0) → plain space (StringHelper.java:638-640).
+    Containment check first — the replace would copy the string on
+    every scan of every turn otherwise."""
+    if " " in text:
+        return text.replace(" ", " ")
+    return text
 
 
 def regex_tag(text: str, pattern: "regex.Pattern", tag: str) -> List[Annotation]:
@@ -168,8 +172,20 @@ DATE_REGEX = (
 )
 _DATE_PATTERN = regex.compile(DATE_REGEX)
 
+# cheap sound pre-filter: EVERY branch of DATE_REGEX requires either a
+# digit[./-:]digit pair (numeric formats) or a month word — texts without
+# either can skip the expensive alternation (it is ~70% of all per-turn
+# regex cost).  IGNORECASE makes it a strict superset of the real pattern.
+import re as _stdlib_re
+
+_DATE_PREFILTER = _stdlib_re.compile(
+    r"\d[./\-:]\d|jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec",
+    _stdlib_re.IGNORECASE)
+
 
 def tag_dates(text: str) -> List[Annotation]:
+    if not _DATE_PREFILTER.search(text):
+        return []
     return regex_tag(text, _DATE_PATTERN, DATETIME_TAG)
 
 
