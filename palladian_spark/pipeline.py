@@ -103,7 +103,13 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
             F.sum(F.pmod(F.xxhash64("conv_id", "turn_idx", "subj", "pred",
                                     "obj"), F.lit(1_000_000_007)))
             .alias("c")).collect()[0]["c"]) or 0
-        result.write.mode("append").parquet(triples_dir)
+        # each bucket OVERWRITES its own partition directory, so a crash
+        # between the triples write and the lineage append cannot duplicate
+        # rows on resume — the rerun replaces the orphan output (idempotent
+        # at-least-once → effectively exactly-once per bucket; on Iceberg
+        # this is a REPLACE PARTITION commit)
+        result.write.mode("overwrite").parquet(
+            os.path.join(triples_dir, f"bucket={bucket}"))
         lineage_row = spark.createDataFrame(
             [(bucket, "triples", row_count, int(checksum), time.time())],
             "bucket int, stage string, row_count long, checksum long, finished_at double")
@@ -111,6 +117,6 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
         result.unpersist()
         computed += 1
 
-    triples = spark.read.parquet(triples_dir)
+    triples = spark.read.parquet(triples_dir).drop("bucket")
     lineage = spark.read.parquet(lineage_dir)
     return PipelineResult(triples, lineage, computed, time.time() - t0)
