@@ -51,24 +51,100 @@ def build_case_dictionary_df(transcripts: DataFrame,
             .where(F.col("prob") > min_prob))
 
 
-def build_annotation_dictionary_df(mentions: DataFrame, n: int = 5,
-                                   padding: bool = True) -> DataFrame:
-    """Char-n-gram → tag counts over mention VALUES
-    (ANNOTATION_FEATURE_SETTING = chars(5) + characterPadding,
-    PalladianNerTrainingSettings.java:83): JVM n-gram explode + hash agg."""
+def char_ngram_col(source, n: int = 5, padding: bool = True):
+    """array<string> of lowercase char n-grams of ``source`` — the JVM
+    building block for the n-gram dictionaries."""
     pad = "#" * (n - 1)
-    source = F.lower(F.col("value"))
-    padded = F.concat(F.lit(pad), source, F.lit(pad)) if padding else source
+    low = F.lower(source)
+    padded = F.concat(F.lit(pad), low, F.lit(pad)) if padding else low
     # sequence(1, 0) counts DOWN in Spark — guard short strings with a
     # typed empty array instead
     idx = F.when(F.length(padded) >= n,
                  F.sequence(F.lit(1), F.length(padded) - (n - 1))) \
         .otherwise(F.expr("CAST(array() AS array<int>)"))
-    grams = F.filter(
+    return F.filter(
         F.transform(idx, lambda i: padded.substr(i, F.lit(n))),
         # all-padding grams are skipped (CharacterNGramTokenizer.java:72-78)
         lambda g: g != F.lit("#" * n))
+
+
+def build_annotation_dictionary_df(mentions: DataFrame, n: int = 5,
+                                   padding: bool = True) -> DataFrame:
+    """Char-n-gram → tag counts over mention VALUES
+    (ANNOTATION_FEATURE_SETTING = chars(5) + characterPadding,
+    PalladianNerTrainingSettings.java:83): JVM n-gram explode + hash agg."""
+    grams = char_ngram_col(F.col("value"), n, padding)
     return (mentions
             .select(F.explode(grams).alias("term"), F.col("tag").alias("category"))
             .groupBy("term", "category")
             .agg(F.count("*").alias("n")))
+
+
+def build_context_dictionary_df(transcripts: DataFrame, mentions: DataFrame,
+                                window: int = 40, n: int = 5) -> DataFrame:
+    """Char-n-gram → tag counts over each mention's ±window-char context
+    string ``trim(left) + '__' + trim(right)`` (buildContextDictionary,
+    PalladianNer.java:894-906; context shape NerHelper.java:300-307;
+    CONTEXT_FEATURE_SETTING = chars(5) no padding): join mentions to their
+    turn text, slice JVM-side, explode grams, hash agg."""
+    joined = mentions.join(
+        transcripts.select("conv_id", "turn_idx", "text"),
+        ["conv_id", "turn_idx"])
+    s0 = F.greatest(F.col("start") - window, F.lit(0))
+    left = F.trim(F.col("text").substr(s0 + 1, F.col("start") - s0))
+    right = F.trim(F.col("text").substr(F.col("end") + 1, F.lit(window)))
+    context = F.concat(left, F.lit("__"), right)
+    grams = char_ngram_col(context, n, padding=False)
+    return (joined
+            .select(F.explode(grams).alias("term"), F.col("tag").alias("category"))
+            .groupBy("term", "category")
+            .agg(F.count("*").alias("n")))
+
+
+def build_left_contexts_df(transcripts: DataFrame, mentions: DataFrame,
+                           size: int = 3, min_count: int = 1) -> DataFrame:
+    """Boundary-fixing left contexts (buildLeftContexts,
+    PalladianNer.java:860-892 + NerHelper.getLeftContexts:244-264):
+    cumulative 1..size word windows left of each mention (digits → '§'),
+    kept when uppercase-starting and occurring more often OUTSIDE than
+    inside entity values (ratio < 1, outside ≥ 2, total ≥ min_count).
+
+    Two hash aggregations + one join — the distributed twin of the Python
+    builder (equivalence-tested).
+    """
+    joined = mentions.join(
+        transcripts.select("conv_id", "turn_idx", "text"),
+        ["conv_id", "turn_idx"])
+    prefix = F.col("text").substr(F.lit(1), F.col("start"))
+    words = F.filter(F.split(prefix, " "), lambda w: w != F.lit(""))
+    # mention at text start → no words → sequence(1, 0) would count DOWN
+    # and slice(…, 0, …) is invalid: guard with a typed empty array
+    ks = F.when(F.size(words) > 0,
+                F.sequence(F.lit(1), F.least(F.size(words), F.lit(size)))) \
+        .otherwise(F.expr("CAST(array() AS array<int>)"))
+    windows = F.transform(
+        ks, lambda k: F.regexp_replace(
+            F.array_join(F.slice(words, -k, k), " "), r"\d", "§"))
+    outside = (joined
+               .select(F.explode(windows).alias("ctx"))
+               .where(F.col("ctx") != "")
+               .groupBy("ctx").agg(F.count("*").alias("n_outside")))
+
+    # inside counts: cumulative word prefixes of every mention VALUE
+    vwords = F.split(F.col("value"), " ")
+    vks = F.sequence(F.lit(1), F.size(vwords))
+    prefixes = F.transform(
+        vks, lambda k: F.array_join(F.slice(vwords, 1, k), " "))
+    inside = (mentions
+              .select(F.explode(prefixes).alias("ctx"))
+              .groupBy("ctx").agg(F.count("*").alias("n_inside")))
+
+    return (outside
+            .join(inside, "ctx", "left")
+            .withColumn("n_inside", F.coalesce("n_inside", F.lit(0)))
+            .where(F.col("ctx").rlike(r"^\p{Lu}"))
+            .where(F.col("n_outside") + F.col("n_inside") >= min_count)
+            .where((F.col("n_inside") / F.col("n_outside") < 1)
+                   & (F.col("n_outside") >= 2))
+            .select(F.col("ctx").alias("left_context"),
+                    "n_outside", "n_inside"))

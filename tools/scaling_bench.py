@@ -127,6 +127,12 @@ costs).  Each level reports the best of 2 repeats: the sandbox VM shows
 double-digit-percent wall-clock variance across identical runs
 (virtualized CPU), and best-of-N approximates uncontended capacity.
 
+**Hardware context** (`tools/cpu_calibration.py`, pure-CPU
+multiprocessing, no Spark): this sandbox's virtualized host delivers
+~0.87 scaling from 2→8 procs but only ~0.66 from 8→32
+(oversubscription), so 2→8 is the honest proxy for a real cluster where
+4N executors add nodes rather than threads on one contended host.
+
 Why this scales: the tagging+relation stage is ONE shuffle-free
 Arrow-batched mapInPandas with the model broadcast; canonicalization is
 broadcast hash joins (zero shuffles) plus one small distinct over fuzzy
@@ -138,7 +144,7 @@ conversations.
 
 Per-query timings at sf0.1 are produced by `python bench.py`
 (BENCH_r{{N}}.json); correctness for every operator is `python
-tools/check_contract.py` (32 queries vs DuckDB oracles).
+tools/check_contract.py` (37 queries vs DuckDB oracles).
 """)
 
 
