@@ -48,6 +48,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "similarity_ngram_dice",
         "ann_cosine_top1",
         "multimodal_meta",
+        "sessionize_events",
+        "pos_tag",
     ]
     queries = entrymod.queries()
     for name in headline:
