@@ -67,7 +67,13 @@ def run_incremental_pipeline(spark: SparkSession, input_dir: str,
         triples = canonicalize_triples(raw, entity_dict)
         triples = triples.persist()
         n = triples.count()
-        triples.write.mode("append").parquet(triples_dir)
+        # idempotent sink: each micro-batch OVERWRITES its own partition
+        # directory, so a retried/replayed batch_id (driver crash before
+        # the checkpoint commit) replaces its half-written output instead
+        # of appending duplicates — foreachBatch's documented exactly-once
+        # recipe (same pattern as pipeline.run_pipeline's bucket dirs)
+        triples.write.mode("overwrite").parquet(
+            f"{triples_dir}/batch={int(batch_id)}")
         lineage = spark.createDataFrame(
             [(int(batch_id), "triples", n, time.time())],
             "batch_id long, stage string, row_count long, finished_at double")
