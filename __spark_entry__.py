@@ -248,13 +248,14 @@ def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-1 neighbor per embedding (similarity-search
-    baseline).  Scale path: the candidate matrix is broadcast once and each
-    Arrow batch of query vectors runs ONE float64 matmul against it — no
-    pairwise cross join ever materializes."""
-    from palladian_spark.operators.similarity_search import brute_force_top_k
+    """Exact cosine top-1 neighbor per embedding via the distributed
+    block-partitioned matmul: vectors packed into block rows, blocks
+    cross-joined, chunked float64 matmul per block pair, window reduce.
+    No driver-side collect of the vector table; memory per task is
+    O(block²), never O(N²)."""
+    from palladian_spark.operators.similarity_search import block_matmul_top_k
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return brute_force_top_k(emb, k=1, round_decimals=4) \
+    return block_matmul_top_k(emb, k=1, round_decimals=4) \
         .select("a_id", "b_id", "cos_sim")
 
 
@@ -375,7 +376,10 @@ def _q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (broadcast-matmul, no cross join)."""
+    """Embedding-cosine near-dup pairs.  method="auto" takes the exact
+    distributed block-matmul branch at this scale (≤ max_exact_rows) and
+    the LSH-bucketed branch beyond it — neither collects vectors to the
+    driver."""
     from palladian_spark.operators.dedup import embedding_neardup_pairs
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_neardup_pairs(emb, threshold=0.3) \
@@ -424,13 +428,16 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-1 neighbor via random-hyperplane LSH buckets — the
-    scale path for similarity search (exact search per bucket only).
+    """Approximate top-1 neighbor via multi-table random-hyperplane LSH —
+    the ≥10⁷-vector scale path.  n_planes=None derives the bucket count
+    from N (expected bucket ≈ target_bucket_rows — not round 1's fixed
+    256 buckets), n_tables=2 is the banding that buys recall, and bucket
+    scoring is chunked so no task holds an O(bucket²) matrix.
     Approximate by design → no SQL oracle; the driver's rows-only check
     applies, and recall vs the exact baseline is asserted in pytest."""
     from palladian_spark.operators.similarity_search import lsh_bucketed_top_k
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_bucketed_top_k(emb, k=1, n_planes=8, seed=42) \
+    return lsh_bucketed_top_k(emb, k=1, n_planes=None, n_tables=2, seed=42) \
         .select("a_id", "b_id", "cos_sim")
 
 

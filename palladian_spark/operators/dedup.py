@@ -175,14 +175,31 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 def embedding_neardup_pairs(embeddings: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             threshold: float = 0.95,
-                            round_decimals: int = 4) -> DataFrame:
+                            round_decimals: int = 4,
+                            method: str = "auto",
+                            max_exact_rows: int = 2_000_000) -> DataFrame:
     """Embedding-cosine near-dup pairs above ``threshold``.
 
-    Uses the broadcast-matrix path from similarity_search (one float64
-    matmul per Arrow batch against the broadcast candidate matrix) — the
-    pairwise cross join never materializes.
+    method:
+      * "exact" — distributed block-partitioned matmul
+        (similarity_search.block_matmul_pairs); exact but O(N²) flops, so
+        it is guarded at ``max_exact_rows``.
+      * "lsh"   — multi-table random-hyperplane buckets + exact verify per
+        bucket (similarity_search.lsh_bucketed_pairs); approximate, the
+        path that survives 10⁹ vectors.
+      * "auto"  — exact below ``max_exact_rows``, LSH above.
+
+    Neither path ever collects the vector table to the driver.
     """
-    from palladian_spark.operators.similarity_search import brute_force_pairs
-    return brute_force_pairs(embeddings, id_col=id_col, vec_col=vec_col,
-                             threshold=threshold,
-                             round_decimals=round_decimals)
+    from palladian_spark.operators.similarity_search import (
+        block_matmul_pairs, lsh_bucketed_pairs)
+    if method == "auto":
+        method = ("exact" if embeddings.count() <= max_exact_rows else "lsh")
+    if method == "exact":
+        return block_matmul_pairs(embeddings, id_col=id_col, vec_col=vec_col,
+                                  threshold=threshold,
+                                  round_decimals=round_decimals,
+                                  max_rows=max_exact_rows)
+    return lsh_bucketed_pairs(embeddings, id_col=id_col, vec_col=vec_col,
+                              threshold=threshold,
+                              round_decimals=round_decimals)
