@@ -21,27 +21,48 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def sessionize(events: DataFrame, timeout_minutes: int = 30,
-               user_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
-    """Split each user's event stream into sessions separated by gaps
-    > timeout.  Output: (user_id, session_id, session_start, session_end,
-    n_events, total_value)."""
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+def session_islands(events: DataFrame, timeout_minutes: int = 30,
+                    user_col: str = "user_id", ts_col: str = "ts",
+                    tiebreak_col: str = "event_id") -> DataFrame:
+    """Gaps-and-islands core: the input plus a per-user ``session_id``.
+
+    ``tiebreak_col`` makes same-timestamp ordering deterministic; when the
+    table has no such column, a monotonically-increasing id stands in
+    (ordering among exact ts ties is then partition-layout dependent, which
+    only matters if a session boundary falls exactly between tied rows).
+    """
+    if tiebreak_col is None or tiebreak_col not in events.columns:
+        events = events.withColumn("_tb", F.monotonically_increasing_id())
+        tiebreak_col = "_tb"
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
     # parquet may carry TIMESTAMP_NTZ; session tz is UTC so the cast is the
     # identity wall-clock mapping and matches DuckDB's epoch_us on naive ts
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     gap = us - F.lag(us).over(w)
     new_session = (gap.isNull()
                    | (gap > timeout_minutes * 60 * 1_000_000)).cast("int")
-    with_id = (events
-               .withColumn("_new", new_session)
-               .withColumn("session_id", F.sum("_new").over(
-                   w.rowsBetween(Window.unboundedPreceding, 0))))
-    return (with_id.groupBy(user_col, "session_id")
-            .agg(F.min(ts_col).alias("session_start"),
-                 F.max(ts_col).alias("session_end"),
-                 F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 6).alias("total_value")))
+    return (events
+            .withColumn("_new", new_session)
+            .withColumn("session_id", F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .drop("_new", "_tb"))
+
+
+def sessionize(events: DataFrame, timeout_minutes: int = 30,
+               user_col: str = "user_id", ts_col: str = "ts",
+               tiebreak_col: str = "event_id",
+               value_col: str = "value") -> DataFrame:
+    """Split each user's event stream into sessions separated by gaps
+    > timeout.  Output: (user_col, session_id, session_start, session_end,
+    n_events[, total_value — present iff ``value_col`` exists])."""
+    with_id = session_islands(events, timeout_minutes, user_col, ts_col,
+                              tiebreak_col)
+    aggs = [F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events")]
+    if value_col is not None and value_col in events.columns:
+        aggs.append(F.round(F.sum(value_col), 6).alias("total_value"))
+    return with_id.groupBy(user_col, "session_id").agg(*aggs)
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",

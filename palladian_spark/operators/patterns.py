@@ -27,20 +27,14 @@ def frequent_itemsets(baskets: DataFrame, items_col: str = "items",
 
 
 def session_event_baskets(events: DataFrame,
-                          timeout_minutes: int = 30) -> DataFrame:
-    """(user session) → distinct event_type basket, ready for FP-Growth."""
-    from palladian_spark.operators.events import sessionize
-    from pyspark.sql import Window
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    gap = us - F.lag(us).over(w)
-    new_session = (gap.isNull()
-                   | (gap > timeout_minutes * 60 * 1_000_000)).cast("int")
-    with_id = (events
-               .withColumn("_new", new_session)
-               .withColumn("session_id", F.sum("_new").over(
-                   w.rowsBetween(Window.unboundedPreceding, 0))))
-    return (with_id.groupBy("user_id", "session_id")
+                          timeout_minutes: int = 30,
+                          user_col: str = "user_id",
+                          ts_col: str = "ts") -> DataFrame:
+    """(user session) → distinct event_type basket, ready for FP-Growth.
+    Reuses sessionize's island computation — one definition of a session."""
+    from palladian_spark.operators.events import session_islands
+    with_id = session_islands(events, timeout_minutes, user_col, ts_col)
+    return (with_id.groupBy(user_col, "session_id")
             .agg(F.array_sort(F.collect_set("event_type")).alias("items")))
 
 

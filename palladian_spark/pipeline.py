@@ -75,10 +75,12 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
             entity_dictionary_pdf().assign(
                 entity_id=lambda d: d["concept"].str.lower() + ":" + d["surface"]))
 
-    def compute(df: DataFrame) -> DataFrame:
+    def compute(df: DataFrame,
+                cache_handles: Optional[list] = None) -> DataFrame:
         staged = repartition_salted(df, partitions) if partitions else df
         raw = extract_triples(staged, model, patterns)
-        return canonicalize_triples(raw, entity_dict)
+        return canonicalize_triples(raw, entity_dict,
+                                    cache_handles=cache_handles)
 
     if output_dir is None:
         return PipelineResult(compute(transcripts), None, 0, time.time() - t0)
@@ -97,7 +99,8 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
     computed = 0
     for bucket in todo:
         part = bucketed.where(F.col("_bucket") == bucket).drop("_bucket")
-        result = compute(part).cache()
+        handles: list = []
+        result = compute(part, cache_handles=handles).cache()
         row_count = result.count()
         checksum = (result.select(
             F.sum(F.pmod(F.xxhash64("conv_id", "turn_idx", "subj", "pred",
@@ -115,6 +118,8 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
             "bucket int, stage string, row_count long, checksum long, finished_at double")
         lineage_row.write.mode("append").parquet(lineage_dir)
         result.unpersist()
+        for h in handles:  # per-bucket stage caches — don't leak across buckets
+            h.unpersist()
         computed += 1
 
     triples = spark.read.parquet(triples_dir).drop("bucket")

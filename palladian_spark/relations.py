@@ -162,7 +162,8 @@ def extract_triples(transcripts: DataFrame, model: NerModel,
 def canonicalize_triples(triples: DataFrame, entity_dict: DataFrame,
                          metric: str = "jaro_winkler",
                          threshold: float = 0.9,
-                         persist: bool = True) -> DataFrame:
+                         persist: bool = True,
+                         cache_handles: Optional[list] = None) -> DataFrame:
     """Replace subj/obj surface forms with canonical entity surfaces via the
     linking stage (broadcast joins), then dedup per (conv, turn, s, p, o).
 
@@ -185,12 +186,20 @@ def canonicalize_triples(triples: DataFrame, entity_dict: DataFrame,
     The raw stream is persisted because passes 1 and 3 both read it (on a
     cluster the checkpointed ``triples`` lineage table serves this durably
     — pipeline.run_pipeline).
+
+    ``cache_handles``: callers that invoke this repeatedly (per micro-batch
+    / per bucket) pass a list; every DataFrame persisted here is appended
+    to it so the caller can unpersist after materializing the result —
+    otherwise each call leaks two cached tables until the ContextCleaner
+    collects them.
     """
     from palladian_spark.linking import fuzzy_link_df, normalize_surface
 
     if persist:
         from pyspark import StorageLevel
         triples = triples.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_handles is not None:
+            cache_handles.append(triples)
 
     # 1. distinct surfaces (map-side combinable)
     surfaces = (triples
@@ -213,6 +222,8 @@ def canonicalize_triples(triples: DataFrame, entity_dict: DataFrame,
                      .select("value", F.col("canonical").alias("canon")))
         mapping = mapping.unionByName(fuzzy_map)
     mapping = mapping.persist()
+    if cache_handles is not None:
+        cache_handles.append(mapping)
     mapping.count()  # materialize once; both broadcast builds read the cache
     mapping = F.broadcast(mapping)
 

@@ -64,7 +64,9 @@ def run_incremental_pipeline(spark: SparkSession, input_dir: str,
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         raw = extract_triples(batch_df, model, patterns)
-        triples = canonicalize_triples(raw, entity_dict)
+        handles: list = []
+        triples = canonicalize_triples(raw, entity_dict,
+                                       cache_handles=handles)
         triples = triples.persist()
         n = triples.count()
         # idempotent sink: each micro-batch OVERWRITES its own partition
@@ -77,8 +79,14 @@ def run_incremental_pipeline(spark: SparkSession, input_dir: str,
         lineage = spark.createDataFrame(
             [(int(batch_id), "triples", n, time.time())],
             "batch_id long, stage string, row_count long, finished_at double")
-        lineage.write.mode("append").parquet(lineage_dir)
+        # lineage gets the same per-batch overwrite as the triples: a
+        # replayed batch_id (crash between parquet write and checkpoint
+        # commit) must replace its audit row, not double-count it
+        lineage.write.mode("overwrite").parquet(
+            f"{lineage_dir}/batch={int(batch_id)}")
         triples.unpersist()
+        for h in handles:  # inner stage caches — don't leak across batches
+            h.unpersist()
 
     stream = stream_transcripts(spark, input_dir)
     writer = (stream.writeStream

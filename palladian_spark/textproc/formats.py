@@ -37,14 +37,16 @@ def column_to_xml(column_text: str, sep: str = "\t") -> str:
             out.append("\n")
             continue
         token, _, tag = line.partition(sep)
-        tag = tag.strip() or "O"
+        # case-insensitive merge like the reference's equalsIgnoreCase —
+        # 'per' and 'PER' runs must share one tag pair, not close/reopen
+        tag = (tag.strip() or "O").upper()
         if tag != (open_tag or "O"):
             if open_tag:
                 out.append(f"</{open_tag}>")
                 open_tag = None
             if tag != "O":
-                out.append(f"<{tag.upper()}>")
-                open_tag = tag.upper()
+                out.append(f"<{tag}>")
+                open_tag = tag
         out.append(token)
     if open_tag:
         out.append(f"</{open_tag}>")
