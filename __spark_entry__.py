@@ -441,6 +441,71 @@ def _q_ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", "cos_sim")
 
 
+_MONTHS_FULL = ["January", "February", "March", "April", "May", "June",
+                "July", "August", "September", "October", "November",
+                "December"]
+_MONTHS_SHORT = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug",
+                 "Sep", "Oct", "Nov", "Dec"]
+_WEEKDAYS_SHORT = ["Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat"]
+
+
+def _q_dates_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DateParser/DateAndTimeTagger port (42 RegExp.ALL_DATE_FORMATS
+    patterns + context-year, trial order + masking + digit-neighbor rules
+    from DateParser.java:197-254) over transcripts with five embedded date
+    formats per turn (RFC-1123, ISO, EU dotted, US slashed, long US).  The
+    oracle reconstructs every expected (value, fmt, offset) analytically
+    from the same deterministic text construction."""
+    from palladian_spark.operators.dates_df import tag_datetimes_df
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d0 = F.to_date("o_orderdate")
+
+    def s(c):
+        return c.cast("string")
+
+    def pad2(c):
+        return F.lpad(c.cast("string"), 2, "0")
+
+    fm = F.array(*[F.lit(x) for x in _MONTHS_FULL])
+    sm = F.array(*[F.lit(x) for x in _MONTHS_SHORT])
+    wd = F.array(*[F.lit(x) for x in _WEEKDAYS_SHORT])
+
+    def iso(d):
+        return F.concat_ws("-", s(F.year(d)), pad2(F.month(d)),
+                           pad2(F.dayofmonth(d)))
+
+    def eu(d):
+        return F.concat(s(F.dayofmonth(d)), F.lit("."), s(F.month(d)),
+                        F.lit("."), s(F.year(d)))
+
+    def us(d):
+        return F.concat(s(F.month(d)), F.lit("/"), s(F.dayofmonth(d)),
+                        F.lit("/"), s(F.year(d)))
+
+    def longd(d):
+        return F.concat(F.element_at(fm, F.month(d)), F.lit(" "),
+                        s(F.dayofmonth(d)), F.lit(", "), s(F.year(d)))
+
+    hh = pad2(F.pmod(F.col("o_custkey"), F.lit(24)))
+    mm = pad2(F.pmod(F.col("o_orderkey"), F.lit(60)))
+    ss = pad2(F.pmod(F.col("o_orderkey") * 7, F.lit(60)))
+    d4 = F.date_add(d0, 4)
+    rfc = F.concat(F.element_at(wd, F.dayofweek(d4)), F.lit(", "),
+                   pad2(F.dayofmonth(d4)), F.lit(" "),
+                   F.element_at(sm, F.month(d4)), F.lit(" "), s(F.year(d4)),
+                   F.lit(" "), hh, F.lit(":"), mm, F.lit(":"), ss,
+                   F.lit(" GMT"))
+    text = F.concat(F.lit("Order logged "), rfc, F.lit(" confirmed "),
+                    iso(d0), F.lit(" eu "), eu(F.date_add(d0, 1)),
+                    F.lit(" us "), us(F.date_add(d0, 2)),
+                    F.lit(" on "), longd(F.date_add(d0, 3)), F.lit(" ok"))
+    transcripts = orders.select(
+        F.concat(F.lit("d"), s(F.col("o_orderkey"))).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"), text.alias("text"))
+    return tag_datetimes_df(transcripts) \
+        .select("conv_id", "turn_idx", "value", "fmt", "m_start")
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization of the events stream (30-min
     inactivity timeout) — the conversation-segmentation shape at scale."""
@@ -539,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pos_tag": _q_pos_tag,
         "np_chunks": _q_np_chunks,
         "gazetteer_scan": _q_gazetteer,
+        "dates_tagged": _q_dates_tagged,
         "sessionize_events": _q_sessionize,
         "event_windows": _q_event_windows,
         "user_activity": _q_user_activity,
@@ -892,6 +958,60 @@ SELECT a.doc_id a_id, b.doc_id b_id,
 FROM g a JOIN g b ON a.bk = b.bk AND a.doc_id < b.doc_id
 WHERE round(len(list_intersect(a.gr, b.gr))::DOUBLE
             / len(list_distinct(list_concat(a.gr, b.gr))), 6) >= 0.5
+""",
+        # expected dates reconstructed analytically from the deterministic
+        # text template: 'Order logged <rfc> confirmed <iso> eu <eu> us
+        # <us> on <long> ok' (offsets via prefix-length arithmetic)
+        "dates_tagged": """
+WITH base AS (
+  SELECT 'd' || CAST(o_orderkey AS VARCHAR) AS conv_id,
+         CAST(o_orderdate AS DATE) AS d0, o_orderkey, o_custkey
+  FROM orders
+), r AS (
+  SELECT conv_id,
+    list_extract(['Sun','Mon','Tue','Wed','Thu','Fri','Sat'],
+                 dayofweek(d0+4)+1)
+      || ', ' || lpad(CAST(day(d0+4) AS VARCHAR),2,'0') || ' '
+      || list_extract(['Jan','Feb','Mar','Apr','May','Jun','Jul','Aug',
+                       'Sep','Oct','Nov','Dec'], month(d0+4))
+      || ' ' || CAST(year(d0+4) AS VARCHAR) || ' '
+      || lpad(CAST(o_custkey % 24 AS VARCHAR),2,'0')
+      || ':' || lpad(CAST(o_orderkey % 60 AS VARCHAR),2,'0')
+      || ':' || lpad(CAST((o_orderkey*7) % 60 AS VARCHAR),2,'0')
+      || ' GMT' AS rfc,
+    CAST(year(d0) AS VARCHAR) || '-' || lpad(CAST(month(d0) AS VARCHAR),2,'0')
+      || '-' || lpad(CAST(day(d0) AS VARCHAR),2,'0') AS iso,
+    CAST(day(d0+1) AS VARCHAR) || '.' || CAST(month(d0+1) AS VARCHAR)
+      || '.' || CAST(year(d0+1) AS VARCHAR) AS eu,
+    CAST(month(d0+2) AS VARCHAR) || '/' || CAST(day(d0+2) AS VARCHAR)
+      || '/' || CAST(year(d0+2) AS VARCHAR) AS us,
+    list_extract(['January','February','March','April','May','June','July',
+                  'August','September','October','November','December'],
+                 month(d0+3))
+      || ' ' || CAST(day(d0+3) AS VARCHAR) || ', '
+      || CAST(year(d0+3) AS VARCHAR) AS lng
+  FROM base
+), pos AS (
+  SELECT conv_id, rfc, iso, eu, us, lng,
+         13 AS rfc_start,
+         13 + length(rfc) + 11 AS iso_start,
+         13 + length(rfc) + 11 + 10 + 4 AS eu_start,
+         13 + length(rfc) + 11 + 10 + 4 + length(eu) + 4 AS us_start,
+         13 + length(rfc) + 11 + 10 + 4 + length(eu) + 4
+            + length(us) + 4 AS long_start
+  FROM r
+)
+SELECT conv_id, 0 AS turn_idx, rfc AS value,
+       'WD, DD MMM YYYY HH:MM:SS TZ' AS fmt,
+       CAST(rfc_start AS INT) AS m_start FROM pos
+UNION ALL
+SELECT conv_id, 0, iso, 'YYYY-MM-DD', CAST(iso_start AS INT) FROM pos
+UNION ALL
+SELECT conv_id, 0, eu, 'DD.MM.YYYY', CAST(eu_start AS INT) FROM pos
+UNION ALL
+SELECT conv_id, 0, us, 'MM/DD/YYYY', CAST(us_start AS INT) FROM pos
+UNION ALL
+SELECT conv_id, 0, lng, 'MMMM DD, YYYY', CAST(long_start AS INT) FROM pos
 """,
         "embedding_neardup": """
 SELECT a.vec_id a_id, b.vec_id b_id,

@@ -1,0 +1,49 @@
+"""Distributed DateAndTimeTagger: the full 42-format DateParser port
+(textproc/dates.py) applied per turn in one Arrow pass.
+
+Reference: extraction/entity/DateAndTimeTagger.java:43-59 over
+RegExp.ALL_DATE_FORMATS + DATE_CONTEXT_YYYY.  Shuffle-free — the scan is a
+narrow mapInPandas over (conv_id, turn_idx, text); at cluster scale it
+inherits the input's partitioning and the 42 compiled patterns live once
+per Python worker (module-level compile cache in textproc/dates.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+DATES_SCHEMA = ("conv_id string, turn_idx int, value string, fmt string, "
+                "m_start int")
+
+
+def tag_datetimes_df(transcripts: DataFrame,
+                     text_col: str = "text") -> DataFrame:
+    """(conv_id, turn_idx, value, fmt, m_start) for every date occurrence.
+
+    A cheap JVM-side prefilter would be unsound here: the 42 formats
+    include bare YYYYWW/YYYYDDD digit runs, so any text containing 4+
+    digits is a candidate — which in transcripts is nearly everything.
+    """
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from palladian_spark.textproc.dates import find_date_formats
+        for pdf in it:
+            out = {"conv_id": [], "turn_idx": [], "value": [], "fmt": [],
+                   "m_start": []}
+            for conv_id, turn_idx, text in zip(
+                    pdf["conv_id"], pdf["turn_idx"], pdf[text_col]):
+                for value, fmt, idx in find_date_formats(text or ""):
+                    out["conv_id"].append(conv_id)
+                    out["turn_idx"].append(int(turn_idx))
+                    out["value"].append(value)
+                    out["fmt"].append(fmt)
+                    out["m_start"].append(idx)
+            yield pd.DataFrame(out)
+
+    return (transcripts
+            .select("conv_id", "turn_idx", text_col)
+            .mapInPandas(run, DATES_SCHEMA))

@@ -1,0 +1,106 @@
+"""Goldens for the full DateParser / DateAndTimeTagger port.
+
+Expectations derive from the reference's own tests — recognition level
+(date string + format + offsets); the calendar-normalization half of
+DateParserLogic is out of scope (the KG tagger contract is spans, not
+normalized timestamps):
+  * DateAndTimeTaggerTest.java:14-21 (span golden)
+  * DateParserTest.java:363-421 (format recognition cases)
+"""
+
+import pytest
+
+from palladian_spark.textproc.dates import (
+    ALL_DATE_FORMATS, find_dates, tag_datetimes)
+
+
+def test_tagger_golden_mayan_calendar():
+    # DateAndTimeTaggerTest.java:16-20
+    anns = tag_datetimes("The mayan calendar ends on 21.12.2012, nobody "
+                         "knows what happens after end of 12/2012.")
+    assert len(anns) == 2
+    assert anns[0].start == 27
+    assert len(anns[0].value) == 10
+    assert anns[0].value == "21.12.2012"
+    assert anns[1].value == "12/2012"
+
+
+@pytest.mark.parametrize("text,expected_value,expected_format", [
+    # DateParserTest.java recognition cases (normalized values in the
+    # reference; we assert the matched string + winning format)
+    ("August 2010", "August 2010", "MMMM YYYY"),
+    ("SEPTEMBER 1, 2010", "SEPTEMBER 1, 2010", "MMMM DD, YYYY"),
+    (", 17/09/06 03:51:53", "17/09/06 03:51:53", "DD.MM.YYYY HH:MM:SS +UTC"),
+    ("30.09.2010", "30.09.2010", "DD.MM.YYYY"),
+    ("Sept. 3, 2010", "Sept. 3, 2010", "MMMM DD, YYYY"),
+    ("JUNE 1, 2010", "JUNE 1, 2010", "MMMM DD, YYYY"),
+    ("Feb. 2010", "Feb. 2010", "MMMM YYYY"),
+    ("2007-12-06T17:37:45Z", "2007-12-06T17:37:45Z",
+     "YYYY-MM-DDTHH:MM:SS+HH:MM"),
+])
+def test_find_dates_reference_cases(text, expected_value, expected_format):
+    dates = find_dates(text)
+    assert dates, f"no date found in {text!r}"
+    assert dates[0].date_string == expected_value
+    assert dates[0].format == expected_format
+
+
+def test_find_dates_two_iso_timestamps():
+    # DateParserTest.java:406-409
+    dates = find_dates("2007-12-06T17:37:45Z 2008-12-06T17:37:45Z")
+    assert [d.date_string for d in dates] == [
+        "2007-12-06T17:37:45Z", "2008-12-06T17:37:45Z"]
+
+
+def test_find_dates_weekday_long_date():
+    # DateParserTest.java:411-413 — exactly ONE date (the weekday is part
+    # of no matching RFC format here, and masking stops re-matches)
+    dates = find_dates("Saturday, September 20, 2008")
+    assert len(dates) == 1
+
+
+def test_find_dates_rfc_gmt_offset():
+    # DateParserTest.java:415-417
+    dates = find_dates("Mon, 18 Apr 2011 09:16:00 GMT-0700")
+    assert len(dates) == 1
+    assert dates[0].date_string == "Mon, 18 Apr 2011 09:16:00 GMT-0700"
+
+
+def test_digit_neighbor_suppression_trailing():
+    # DateParser.java:240-244: a trailing digit suppresses the match
+    dates = find_dates("2010-07-201")
+    assert all(d.date_string != "2010-07-20" for d in dates)
+
+
+def test_digit_neighbor_leading_overwritten_by_trailing_check():
+    # faithful reference quirk (DateParser.java:237-244): the trailing
+    # check OVERWRITES the leading-digit flag, so a date preceded by a
+    # digit but followed by a non-digit is still kept
+    dates = find_dates("id 92010-07-20 junk")
+    assert any(d.date_string == "2010-07-20" for d in dates)
+
+
+def test_period_prefix_suppression():
+    # dates must not start right after a period (DateParser.java:233-235)
+    dates = find_dates("v1.12.2012 release")
+    assert all(d.date_string != "12.2012" for d in dates)
+
+
+def test_context_year_only_in_default_tagger():
+    # DATE_CONTEXT_YYYY is the tagger's extra, not part of ALL_DATE_FORMATS
+    assert find_dates("built in 2009 and used", ALL_DATE_FORMATS) == []
+    anns = tag_datetimes("built in 2009 and used")
+    assert [a.value for a in anns] == ["2009"]
+    assert anns[0].start == 9
+
+
+def test_all_occurrences_annotated():
+    # DateAndTimeTagger.java:52-56: every literal occurrence of the date
+    # string becomes an annotation — and a string extracted twice is
+    # annotated at every occurrence PER extraction (faithful duplication)
+    anns = tag_datetimes("from 2010-07-20 until 2010-07-20 again")
+    assert [a.start for a in anns] == [5, 22, 5, 22]
+
+
+def test_format_count_is_contractual():
+    assert len(ALL_DATE_FORMATS) == 41  # 6 RFC + 9 time + 11 + 11 + 4
