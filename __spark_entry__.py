@@ -441,6 +441,40 @@ def _q_ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", "cos_sim")
 
 
+def _q_complete_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Complete-mode retrain (PalladianNer.java:418-436): a
+    second tagging pass over the training transcripts, ERROR1 overlap
+    anti-join against an analytic gold (customer + supplier spans of the
+    fixed template), then the removeAnnotations value anti-join.  With
+    gold omitting the nation spans, the remove set is exactly the
+    lowercased nation surfaces — which the oracle states from the base
+    tables."""
+    from palladian_spark.ner.train_df import complete_retrain_df
+    transcripts = _tpch_transcripts(spark, sf_dir)
+    model = _tpch_model(spark, sf_dir)
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = lineitem.join(orders,
+                         lineitem.l_orderkey == orders.o_orderkey)
+    conv = F.concat(F.lit("conv-"), F.col("l_orderkey").cast("string"))
+    turn = F.col("l_linenumber").cast("int")
+    cust = F.concat(F.lit("Customer C"), F.col("o_custkey").cast("string"))
+    supp = F.concat(F.lit("Supplier S"), F.col("l_suppkey").cast("string"))
+    gold_c = base.select(
+        conv.alias("conv_id"), turn.alias("turn_idx"),
+        F.lit(0).cast("int").alias("start"),
+        F.length(cust).cast("int").alias("end"),
+        cust.alias("value"), F.lit("PER").alias("tag"))
+    gold_s = base.select(
+        conv.alias("conv_id"), turn.alias("turn_idx"),
+        (F.length(cust) + 11).cast("int").alias("start"),
+        (F.length(cust) + 11 + F.length(supp)).cast("int").alias("end"),
+        supp.alias("value"), F.lit("ORG").alias("tag"))
+    gold = gold_c.unionByName(gold_s)
+    _, remove = complete_retrain_df(transcripts, gold, model)
+    return remove.select("remove_value")
+
+
 _MONTHS_FULL = ["January", "February", "March", "April", "May", "June",
                 "July", "August", "September", "October", "November",
                 "December"]
@@ -604,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pos_tag": _q_pos_tag,
         "np_chunks": _q_np_chunks,
         "gazetteer_scan": _q_gazetteer,
+        "complete_retrain_removed": _q_complete_retrain,
         "dates_tagged": _q_dates_tagged,
         "sessionize_events": _q_sessionize,
         "event_windows": _q_event_windows,
@@ -958,6 +993,15 @@ SELECT a.doc_id a_id, b.doc_id b_id,
 FROM g a JOIN g b ON a.bk = b.bk AND a.doc_id < b.doc_id
 WHERE round(len(list_intersect(a.gr, b.gr))::DOUBLE
             / len(list_distinct(list_concat(a.gr, b.gr))), 6) >= 0.5
+""",
+        # with gold = customer+supplier spans only, the retrain's ERROR1
+        # set is exactly the nation mentions → remove set = their
+        # lowercased surfaces (never gold values)
+        "complete_retrain_removed": """
+SELECT DISTINCT 'nation n' || CAST(s.s_nationkey AS VARCHAR) AS remove_value
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey  = s.s_suppkey
 """,
         # expected dates reconstructed analytically from the deterministic
         # text template: 'Order logged <rfc> confirmed <iso> eu <eu> us

@@ -80,6 +80,60 @@ def build_annotation_dictionary_df(mentions: DataFrame, n: int = 5,
             .agg(F.count("*").alias("n")))
 
 
+def error1_mentions_df(predicted: DataFrame, gold: DataFrame) -> DataFrame:
+    """ERROR1 set of the reference's evaluation (NamedEntityRecognizer.java
+    :98-184 categories): predicted mentions overlapping NO gold span of the
+    same turn.  One range-condition left-anti join on (conv_id, turn_idx)."""
+    g = gold.select(F.col("conv_id").alias("g_conv"),
+                    F.col("turn_idx").alias("g_turn"),
+                    F.col("start").alias("g_start"),
+                    F.col("end").alias("g_end"))
+    cond = ((predicted["conv_id"] == g["g_conv"])
+            & (predicted["turn_idx"] == g["g_turn"])
+            & (predicted["start"] < g["g_end"])
+            & (g["g_start"] < predicted["end"]))
+    return predicted.join(g, cond, "left_anti")
+
+
+def complete_retrain_df(transcripts: DataFrame, gold: DataFrame, model,
+                        n: int = 5, padding: bool = True):
+    """Distributed Complete-mode retrain (PalladianNer.java:418-436;
+    SURVEY.md §2.5 training row 7): second tagging pass over the training
+    corpus, ERROR1 taggings become ###NO_ENTITY### instances in a rebuilt
+    annotation dictionary, and ERROR1 values never seen as gold values form
+    the removeAnnotations set.
+
+    The round-1 per-text Python form (ner/train.py:complete_retrain) is the
+    golden twin; this is the corpus-level shape: one fused tagging pass +
+    one overlap anti-join + one value anti-join + one dictionary agg — all
+    shuffles keyed on (conv_id, turn_idx) or the value itself.
+
+    Returns (annotation_dictionary_df, remove_annotations_df):
+      * annotation_dictionary_df — (term, category, n) char-n-gram counts
+        over gold values (typed) ∪ ERROR1 values (###NO_ENTITY###)
+      * remove_annotations_df    — distinct lowercased ERROR1 values that
+        never appear as a gold value (column ``remove_value``)
+    """
+    from palladian_spark.operators.mentions import extract_mentions
+    from palladian_spark.textproc.taggers import NO_ENTITY
+
+    predicted = extract_mentions(transcripts, model)
+    error1 = error1_mentions_df(predicted, gold)
+
+    training = (gold.select("value", "tag")
+                .unionByName(error1.select(
+                    "value", F.lit(NO_ENTITY).alias("tag"))))
+    ann_dict = build_annotation_dictionary_df(training, n, padding)
+
+    gold_values = gold.select(
+        F.lower(F.col("value")).alias("remove_value")).distinct()
+    remove = (error1
+              .select(F.lower(F.col("value")).alias("remove_value"))
+              .distinct()
+              .join(gold_values, "remove_value", "left_anti"))
+    return ann_dict, remove
+
+
 def build_context_dictionary_df(transcripts: DataFrame, mentions: DataFrame,
                                 window: int = 40, n: int = 5) -> DataFrame:
     """Char-n-gram → tag counts over each mention's ±window-char context

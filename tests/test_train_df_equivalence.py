@@ -48,6 +48,57 @@ def test_context_dictionary_df_matches_python(spark, frames):
     assert got == expected
 
 
+def test_complete_retrain_df_matches_python(spark):
+    """Corpus-level Complete-mode retrain ≡ per-text Python form
+    (PalladianNer.java:418-436): same ERROR1 set, same removeAnnotations,
+    NO_ENTITY present in the rebuilt annotation dictionary."""
+    from palladian_spark.ner.model import NerModel
+    from palladian_spark.ner.tag import get_annotations
+    from palladian_spark.ner.train import (
+        build_annotation_dictionary, build_entity_dictionary,
+        complete_retrain)
+    from palladian_spark.ner.train_df import complete_retrain_df
+    from palladian_spark.textproc.taggers import NO_ENTITY, Annotation
+
+    corpus = [
+        ("c0", 0, "Alice Johnson visited Berlin. The Thing happened again.",
+         [(0, "Alice Johnson", "PER"), (22, "Berlin", "LOC")]),
+        ("c0", 1, "Alice Johnson met Bob Miller. Weird Stuff occurred.",
+         [(0, "Alice Johnson", "PER"), (18, "Bob Miller", "PER")]),
+        ("c1", 0, "Berlin welcomed Bob Miller warmly yesterday evening.",
+         [(0, "Berlin", "LOC"), (16, "Bob Miller", "PER")]),
+    ]
+    all_gold = [Annotation(s, v, t)
+                for _, _, _, anns in corpus for s, v, t in anns]
+    model = NerModel()
+    model.entity_dictionary = build_entity_dictionary(all_gold)
+    model.annotation_dictionary = build_annotation_dictionary(all_gold)
+
+    # python twin, merged corpus-level: per-text ERROR1 union
+    expected_remove = set()
+    gold_values = {a.value.lower() for a in all_gold}
+    for _, _, text, anns in corpus:
+        m = NerModel()
+        m.entity_dictionary = model.entity_dictionary
+        m.annotation_dictionary = model.annotation_dictionary
+        m = complete_retrain(text, [Annotation(s, v, t)
+                                    for s, v, t in anns], m)
+        expected_remove |= m.remove_annotations
+    assert "the thing" in expected_remove     # the planted false positive
+
+    t = spark.createDataFrame([(c, i, text) for c, i, text, _ in corpus],
+                              "conv_id string, turn_idx int, text string")
+    g = spark.createDataFrame(
+        [(c, i, s, s + len(v), v, tag, 1.0)
+         for c, i, _, anns in corpus for s, v, tag in anns],
+        "conv_id string, turn_idx int, start int, end int, value string,"
+        " tag string, conf double")
+    ann_dict, remove = complete_retrain_df(t, g, model)
+    got_remove = {r["remove_value"] for r in remove.collect()}
+    assert got_remove == expected_remove
+    assert ann_dict.where(f"category = '{NO_ENTITY}'").count() > 0
+
+
 def test_left_contexts_df_matches_python(spark, frames):
     from palladian_spark.ner.train import build_left_contexts
     from palladian_spark.ner.train_df import build_left_contexts_df
