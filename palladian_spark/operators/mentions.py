@@ -81,17 +81,26 @@ def ensure_map_parallelism(df: DataFrame) -> DataFrame:
     The repartition is CONDITIONAL: a 100 TB Iceberg/parquet scan already
     yields thousands of splits (≥ target), and forcing a numbered shuffle
     there would move the whole corpus for nothing — so we only add the
-    exchange when the plan genuinely under-parallelizes.  (Note: with AQE,
-    inspecting ``.rdd`` materializes upstream shuffle stages eagerly; their
-    shuffle files are reused by the actual job, so no work is duplicated.)
+    exchange when the plan genuinely under-parallelizes.
+
+    The guard is METADATA-ONLY: ``df.inputFiles()`` (a catalog/file-index
+    lookup, no job).  Round 1 inspected ``df.rdd.getNumPartitions()``,
+    which under AQE eagerly materializes upstream shuffle stages at
+    plan-build time — fine locally, but on a busy cluster it launches
+    jobs before the query even runs.  A file-backed plan with ≥ target
+    files keeps its scan parallelism (maxPartitionBytes can only split
+    further); anything else (few/large files, in-memory relations,
+    post-shuffle plans on tiny inputs) gets the salted exchange — the
+    shuffled payload is turn text, cheap next to the Python stage it
+    feeds.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism * 2
     try:
-        current = df.rdd.getNumPartitions()
+        n_files = len(df.inputFiles())
     except Exception:
-        current = 0
-    if current >= target:
+        n_files = 0
+    if n_files >= target:
         return df
     return repartition_salted(df, target)
 

@@ -105,6 +105,67 @@ def iter_word_ngrams(text: str, min_n: int, max_n: int) -> Iterator[str]:
             yield " ".join(values[i:i + length])
 
 
+def iter_skip_grams(text: str, min_n: int, max_n: int) -> Iterator[str]:
+    """Word n-grams interleaved with their skip-grams
+    (SkipGramWrapperIterator.java:30-54): after every n-gram of MORE than
+    two words, its 'first last' skip-gram is emitted; 1/2-word tokens pass
+    through unchanged."""
+    for gram in iter_word_ngrams(text, min_n, max_n):
+        yield gram
+        parts = gram.split()
+        if len(parts) > 2:
+            yield parts[0] + " " + parts[-1]
+
+
+_TRIM_UNWANTED = set(
+    ",.;:!|?¬  #-'\"*/\\@<>=·^_+»ￂ•”“´`¯~®™○")
+
+
+def palladian_trim(s: str, keep: str = "") -> str:
+    """StringHelper.trim(string, keepCharacters)
+    (StringHelper.java:956-1023): java-trim + HTML unescape, then strip
+    the unwanted punctuation set (minus ``keep``) and space characters
+    from both ends until stable."""
+    import html
+    s = s.strip()
+    if not s:
+        return s
+    s = html.unescape(s)
+    unwanted = _TRIM_UNWANTED - set(keep)
+    while s:
+        first, last = s[0], s[-1]
+        delete_first = first in unwanted or first.isspace()
+        delete_last = last in unwanted or last.isspace()
+        if not (delete_first or delete_last):
+            break
+        if delete_first:
+            s = s[1:]
+        if delete_last and s:
+            s = s[:-1]
+        s = s.strip()
+    return s.strip()
+
+
+def get_sentences(text: str, only_real_sentences: bool = False,
+                  mask_spans: List[Token] | None = None) -> List[str]:
+    """Sentence values, optionally keeping only 'real' sentences
+    (Tokenizer.java:316-342): last line of each candidate must end in
+    . ? ! .” .\" and the quote-preserving-trimmed form must be longer
+    than 8 chars with more than 2 words."""
+    values = [t.value for t in sentences(text, mask_spans)]
+    if not only_real_sentences:
+        return values
+    real: List[str] = []
+    for sentence in values:
+        sentence = sentence.split("\n")[-1]
+        if sentence.endswith((".", "?", "!", ".”", '."')):
+            clean = palladian_trim(sentence, keep='“”"')
+            word_count = clean.count(" ") + 1
+            if len(clean) > 8 and word_count > 2:
+                real.append(sentence.strip())
+    return real
+
+
 def char_edge_ngrams(part: str, n: int, must_hit_left_edge: bool = False) -> List[str]:
     """Edge-only (prefix/suffix) char n-grams (Tokenizer.java:94-121)."""
     grams = []

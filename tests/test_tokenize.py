@@ -92,3 +92,31 @@ def test_sentences_url_masking():
     sents = sentences(text, mask_spans=masks)
     assert len(sents) == 2
     assert sents[0].value == "Visit http://example.com/a.b for info."
+
+
+def test_skip_grams_interleaved():
+    # SkipGramWrapperIterator.java:30-54: each >2-word n-gram is followed
+    # by its 'first last' skip-gram; 1/2-word grams pass through
+    from palladian_spark.textproc.tokenize import iter_skip_grams
+    assert list(iter_skip_grams("a b c d", 1, 3)) == [
+        "a", "a b", "a b c", "a c",
+        "b", "b c", "b c d", "b d",
+        "c", "c d", "d"]
+
+
+def test_palladian_trim():
+    from palladian_spark.textproc.tokenize import palladian_trim
+    assert palladian_trim("  ,hello-  ") == "hello"
+    # keepCharacters: quotes survive when listed (Tokenizer.java:330)
+    assert palladian_trim('"Hello World."', keep='“”"') == '"Hello World."'
+    assert palladian_trim('"Hello World."') == "Hello World"
+
+
+def test_get_sentences_only_real():
+    # Tokenizer.java:316-342: terminal punctuation + length > 8 + > 2 words
+    from palladian_spark.textproc.tokenize import get_sentences
+    text = ("This is a real sentence. Go! Short. "
+            "And here is another good one? banana")
+    assert get_sentences(text, only_real_sentences=True) == [
+        "This is a real sentence.", "And here is another good one?"]
+    assert get_sentences(text)[:2] == ["This is a real sentence.", "Go!"]
