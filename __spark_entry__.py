@@ -387,10 +387,12 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-stopword language ID (closed-form, whole-stage codegen)."""
-    from palladian_spark.operators.text_quality import language_id
+    """Dictionary-classifier language ID (char-4-gram profile through the
+    §2.4 DefaultScorer stack — the reference-faithful path; the marker
+    heuristic remains as text_quality.language_id for cheap triage)."""
+    from palladian_spark.operators.text_quality import language_id_clf
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return language_id(docs).select("doc_id", "lang_pred", "marker_hits")
+    return language_id_clf(docs).select("doc_id", "lang_pred", "lang_prob")
 
 
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1065,26 +1067,33 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                    b.embedding::DOUBLE[]), 4) >= 0.3
 """,
+        # char-4-gram dictionary-classifier language ID (same DefaultScorer
+        # algebra as classify_default, terms = distinct char 4-grams)
         "lang_id": """
-WITH s AS (
-  SELECT doc_id, string_split(lower(text), ' ') ts FROM documents
-), sc AS (
-  SELECT doc_id,
-    len(list_filter(ts, t -> t IN ('the','and','of','to','in','is','that','for','with','a'))) s_en,
-    len(list_filter(ts, t -> t IN ('der','die','das','und','ist','nicht','mit','für','ein'))) s_de,
-    len(list_filter(ts, t -> t IN ('le','la','les','et','est','pas','pour','avec','une'))) s_fr,
-    len(list_filter(ts, t -> t IN ('el','la','los','las','es','no','por','con','una'))) s_es,
-    len(list_filter(ts, t -> t IN ('的','是','不','了','在','有','我','他'))) s_zh
-  FROM s
-), m AS (
-  SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) mx FROM sc
+WITH t AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct([substr(s, CAST(i AS INT), 4)
+                               FOR i IN range(1, greatest(len(s) - 2, 1))]))
+           AS term
+  FROM (SELECT doc_id, lang, lower(text) AS s FROM documents)
+), d AS (
+  SELECT term, lang AS cat, CAST(count(*) AS DOUBLE) c FROM t GROUP BY 1, 2
+), dt AS (
+  SELECT term, sum(c) tot FROM d GROUP BY 1
+), s AS (
+  SELECT t.doc_id, d.cat, sum((d.c / dt.tot) * (d.c / dt.tot)) sc
+  FROM t JOIN d ON t.term = d.term JOIN dt ON t.term = dt.term
+  GROUP BY 1, 2
+), p AS (
+  SELECT doc_id, cat, sc / sum(sc) OVER (PARTITION BY doc_id) prob FROM s
+), r AS (
+  SELECT doc_id, cat, prob,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY prob DESC, cat ASC) rn
+  FROM p
 )
-SELECT doc_id,
-       CASE WHEN s_en = mx THEN 'en' WHEN s_de = mx THEN 'de'
-            WHEN s_fr = mx THEN 'fr' WHEN s_es = mx THEN 'es'
-            ELSE 'zh' END AS lang_pred,
-       CAST(mx AS INT) AS marker_hits
-FROM m
+SELECT doc_id, cat AS lang_pred, round(prob, 4) AS lang_prob
+FROM r WHERE rn = 1
 """,
         "quality_scores": """
 WITH t AS (

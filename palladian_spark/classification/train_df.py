@@ -45,13 +45,48 @@ def word_terms_col(text_col, setting: FeatureSetting):
     return F.slice(F.array_distinct(kept), 1, setting.max_terms)
 
 
+def char_terms_col(text_col, setting: FeatureSetting):
+    """array<string> of the document's distinct char-n-gram terms in
+    first-seen (offset-major, length-minor) order, maxTerms-capped — the
+    JVM twin of dictionary.extract_terms' char branch
+    (Preprocessor.java:27-77 + CharacterNGramTokenizer.java:34-78)."""
+    source = text_col if setting.case_sensitive else F.lower(text_col)
+    if setting.character_padding:
+        pad = "#" * (setting.max_n - 1)
+        source = F.concat(F.lit(pad), source, F.lit(pad))
+    length = F.length(source)
+    min_n, max_n = setting.min_n, setting.max_n
+    empty = F.expr("CAST(array() AS array<int>)")
+    offsets = F.when(length >= min_n,
+                     F.sequence(F.lit(1), length - (min_n - 1))) \
+        .otherwise(empty)
+    nested = F.transform(
+        offsets,
+        lambda o: F.transform(
+            F.sequence(F.lit(min_n), F.least(F.lit(max_n), length - o + 1)),
+            lambda n: source.substr(o, n)))
+    grams = F.flatten(nested)
+    if setting.character_padding:
+        grams = F.filter(
+            grams, lambda g: g.rlike("[^#]"))  # drop all-padding grams
+    return F.slice(F.array_distinct(grams), 1, setting.max_terms)
+
+
+def terms_col(text_col, setting: FeatureSetting):
+    """Dispatch on the feature type (word n-grams vs char n-grams)."""
+    from palladian_spark.classification.dictionary import CHAR_NGRAMS
+    if setting.feature_type == CHAR_NGRAMS:
+        return char_terms_col(text_col, setting)
+    return word_terms_col(text_col, setting)
+
+
 def doc_terms_df(docs: DataFrame, text_col: str = "text",
                  setting: FeatureSetting | None = None) -> DataFrame:
     """Explode each document into (…keys, term) rows."""
     setting = setting or FeatureSetting.words(1)
     keys = [c for c in docs.columns if c != text_col]
     return (docs
-            .withColumn("_terms", word_terms_col(F.col(text_col), setting))
+            .withColumn("_terms", terms_col(F.col(text_col), setting))
             .select(*keys, F.explode("_terms").alias("term")))
 
 
@@ -69,8 +104,8 @@ def build_dictionary_df(docs: DataFrame, category_col: str,
     w = F.col(weight_col) if weight_col else F.lit(1.0)
     terms = (docs
              .withColumn("_w", w)
-             .withColumn("_terms", word_terms_col(F.col(text_col),
-                                                  setting or FeatureSetting.words(1)))
+             .withColumn("_terms", terms_col(F.col(text_col),
+                                             setting or FeatureSetting.words(1)))
              .select(F.col(category_col).alias("category"), "_w",
                      F.explode("_terms").alias("term")))
     counted = (terms.groupBy("term", "category")

@@ -57,6 +57,39 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
         best_score.cast("int").alias("marker_hits"))
 
 
+def language_id_clf(docs: DataFrame, train_docs: DataFrame | None = None,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    lang_col: str = "lang", ngram_n: int = 4,
+                    round_decimals: int = 4) -> DataFrame:
+    """Dictionary-classifier language ID — the faithful reference upgrade
+    over the marker heuristic (Palladian routes language detection through
+    its text classifier with char-profile features; same DefaultScorer
+    stack as classification §2.4, here with char-``ngram_n``-gram terms).
+
+    ``train_docs`` (labeled with ``lang_col``) defaults to ``docs`` itself
+    (self-profile mode, as used by the contract query).  Fully relational:
+    char n-grams JVM-side → broadcast dictionary join → per-doc agg →
+    normalized argmax; no Python anywhere.
+    """
+    from palladian_spark.classification.dictionary import (
+        CHAR_NGRAMS, FeatureSetting)
+    from palladian_spark.classification.train_df import (
+        build_dictionary_df, category_priors_df, classify_df)
+    train = train_docs if train_docs is not None else docs
+    # maxTerms effectively unbounded: a language profile wants the whole
+    # document's gram set, and the SQL oracle's plain DISTINCT then
+    # matches first-seen-distinct exactly
+    setting = FeatureSetting(CHAR_NGRAMS, ngram_n, ngram_n,
+                             max_terms=1_000_000)
+    d = build_dictionary_df(train.select(F.col(lang_col), F.col(text_col)),
+                            lang_col, text_col, setting)
+    p = category_priors_df(train, lang_col)
+    return (classify_df(docs.select(id_col, text_col), d, p, [id_col],
+                        text_col, setting, round_decimals)
+            .select(id_col, F.col("predicted").alias("lang_pred"),
+                    F.col("prob").alias("lang_prob")))
+
+
 def quality_scores(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """Heuristic document-quality features + a composite score:

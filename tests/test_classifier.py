@@ -105,3 +105,44 @@ def test_category_equalization_scorer():
     # equalization divides by the prior, boosting the rare "no" class further
     assert most_likely(probs)[0] == "no"
     assert probs["no"] > 0.79
+
+
+def test_char_terms_col_matches_python(spark):
+    """JVM char-n-gram term extraction ≡ dictionary.document_terms on the
+    char branch, including first-seen maxTerms capping and padding."""
+    from pyspark.sql import functions as F
+    from palladian_spark.classification.dictionary import (
+        FeatureSetting, document_terms)
+    from palladian_spark.classification.train_df import char_terms_col
+
+    texts = ["Hello World", "aaa", "ab", "", "Mixed CASE text 42!",
+             "padded", "x"]
+    settings = [
+        FeatureSetting.chars(4),
+        FeatureSetting.chars(3, 5),
+        FeatureSetting.chars(5, padding=True),
+        FeatureSetting("char", 2, 3, max_terms=6),
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for setting in settings:
+        got = [r["terms"] for r in
+               df.select(char_terms_col(F.col("text"), setting)
+                         .alias("terms")).collect()]
+        want = [document_terms(t, setting) for t in texts]
+        assert got == want, setting
+
+
+def test_language_id_clf_self_consistent(spark):
+    """Classifier language ID: deterministic, one prediction per doc, and
+    on cleanly-separated vocabularies it recovers the training label."""
+    from palladian_spark.operators.text_quality import language_id_clf
+    rows = [
+        ("d1", "en", "the cat sat on the mat with the hat"),
+        ("d2", "en", "the dog ran to the park with the ball"),
+        ("d3", "xx", "zuzu qixi vovo zuzu qixi wuwu zuzu"),
+        ("d4", "xx", "qixi zuzu wuwu vovo qixi zuzu yxyx"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    got = {r["doc_id"]: r["lang_pred"]
+           for r in language_id_clf(docs).collect()}
+    assert got == {"d1": "en", "d2": "en", "d3": "xx", "d4": "xx"}
