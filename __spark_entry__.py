@@ -591,6 +591,19 @@ def _q_pos_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("conv_id", "turn_idx", "tok_idx", "tok_start", "token", "pos")
 
 
+def _q_pos_tag_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniversalClassifier POS tagging (PalladianPosTagger.java:63-77,
+    151-168 parity): char-1..7-gram TEXT classifier + nominal-feature
+    Bayes over the bundled weighted corpus slice, summed and argmaxed per
+    token.  The oracle replicates the ENTIRE classifier algebra
+    relationally in DuckDB (grams, feature counts, laplace log-space
+    Bayes, log-inversion normalization, combination) over the same
+    corpus."""
+    from palladian_spark.operators.pos_df import universal_pos_tag_df
+    return universal_pos_tag_df(_tpch_transcripts(spark, sf_dir)) \
+        .select("conv_id", "turn_idx", "tok_idx", "tok_start", "token", "pos")
+
+
 def _q_np_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NP chunking over POS tags (PhraseChunker.java:11-25 interface) as
     gaps-and-islands.  Turns are deduped first (duplicate (conv, turn)
@@ -638,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprints": _q_rolling_fingerprints,
         "multimodal_meta": _q_multimodal_meta,
         "pos_tag": _q_pos_tag,
+        "pos_tag_clf": _q_pos_tag_clf,
         "np_chunks": _q_np_chunks,
         "gazetteer_scan": _q_gazetteer,
         "complete_retrain_removed": _q_complete_retrain,
@@ -665,6 +679,143 @@ WITH base AS (
   JOIN orders o   ON l.l_orderkey = o.o_orderkey
   JOIN supplier s ON l.l_suppkey  = s.s_suppkey
 )
+"""
+
+
+def _pos_clf_feature_exprs(wordcol: str) -> list[tuple[str, str]]:
+    """The 12 universal_features as DuckDB expressions — MUST stay in
+    lockstep with textproc.pos.universal_features (equivalence-tested in
+    tests/test_pos_universal.py)."""
+    nw = "'one','two','three','four','five','six','seven','eight','nine','ten','eleven','twelve'"
+    return [
+        ("startsUppercase",
+         f"CASE WHEN regexp_matches({wordcol}, '^[A-Z]') THEN 'true' ELSE 'false' END"),
+        ("length1", f"CASE WHEN len({wordcol}) = 1 THEN 'true' ELSE 'false' END"),
+        ("length2", f"CASE WHEN len({wordcol}) = 2 THEN 'true' ELSE 'false' END"),
+        ("length3", f"CASE WHEN len({wordcol}) = 3 THEN 'true' ELSE 'false' END"),
+        ("length", f"CAST(len({wordcol}) AS VARCHAR)"),
+        ("number",
+         f"CASE WHEN regexp_matches({wordcol}, '^[0-9]+([.,][0-9]+)?$') "
+         f"OR lower({wordcol}) IN ({nw}) THEN 'true' ELSE 'false' END"),
+        ("completelyUppercase",
+         f"CASE WHEN regexp_matches({wordcol}, '[A-Z]') "
+         f"AND NOT regexp_matches({wordcol}, '[a-z]') THEN 'true' ELSE 'false' END"),
+        ("normalizedLength",
+         "CAST(len(regexp_replace(" + wordcol
+         + ", '[^`''\",.:;*()]', '', 'g')) AS VARCHAR)"),
+        ("lastCharacter", f"right({wordcol}, 1)"),
+        ("firstCharacter", f"substr({wordcol}, 1, 1)"),
+        ("lastTwoCharacters",
+         f"CASE WHEN len({wordcol}) > 1 THEN right({wordcol}, 2) ELSE '' END"),
+        ("word", wordcol),
+    ]
+
+
+def _pos_clf_oracle_sql() -> str:
+    """DuckDB oracle for pos_tag_clf: the full UniversalPosTagger algebra
+    (see textproc/pos.py round-2 block) expressed relationally over the
+    bundled corpus, applied to the analytic token table of the derived
+    transcripts."""
+    from palladian_spark.data.pos_corpus import POS_CORPUS_WEIGHTED
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    corpus_values = ",\n  ".join(
+        f"({q(w)}, {q(t)}, {wt})" for w, t, wt in POS_CORPUS_WEIGHTED)
+    vf_arms = "\nUNION ALL ".join(
+        f"SELECT token, '{n}' AS fname, {e} AS fvalue FROM vocab"
+        for n, e in _pos_clf_feature_exprs("token"))
+    cf_arms = "\nUNION ALL ".join(
+        f"SELECT tag, w, '{n}' AS fname, {e} AS fvalue FROM corpus"
+        for n, e in _pos_clf_feature_exprs("word"))
+
+    return f"""
+WITH corpus(word, tag, w) AS (VALUES
+  {corpus_values}
+),
+cats AS (SELECT tag, CAST(sum(w) AS DOUBLE) AS n_cat FROM corpus GROUP BY 1),
+nd AS (SELECT CAST(sum(n_cat) AS DOUBLE) n_docs, CAST(count(*) AS DOUBLE) k
+       FROM cats),
+cg1 AS (SELECT word, tag, w, unnest(range(1, len(word)+1)) AS i FROM corpus),
+cg2 AS (SELECT DISTINCT word, tag, w,
+               unnest([substr(lower(word), CAST(i AS INT), CAST(n AS INT))
+                       FOR n IN range(1, least(7, len(word)-CAST(i AS INT)+1)+1)])
+                 AS term
+        FROM cg1),
+tdict AS (SELECT term, tag, CAST(sum(w) AS DOUBLE) c FROM cg2 GROUP BY 1, 2),
+ttot AS (SELECT term, sum(c) tot FROM tdict GROUP BY 1),
+base AS (
+  SELECT 'conv-' || CAST(l.l_orderkey AS VARCHAR) AS conv_id,
+         CAST(l.l_linenumber AS INT) AS turn_idx,
+         'Customer C' || CAST(o.o_custkey AS VARCHAR) AS cust,
+         'Supplier S' || CAST(l.l_suppkey AS VARCHAR) AS supp,
+         'Nation N'  || CAST(s.s_nationkey AS VARCHAR) AS nat
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+),
+m AS (SELECT conv_id, turn_idx, cust, supp, nat,
+             length(cust) lc, length(supp) ls, length(nat) ln FROM base),
+tok AS (
+  SELECT conv_id, turn_idx, CAST(0 AS INT) tok_idx, CAST(0 AS INT) tok_start,
+         'Customer' AS token FROM m
+  UNION ALL SELECT conv_id, turn_idx, 1, 9, substr(cust, 10) FROM m
+  UNION ALL SELECT conv_id, turn_idx, 2, lc + 1, 'works' FROM m
+  UNION ALL SELECT conv_id, turn_idx, 3, lc + 7, 'for' FROM m
+  UNION ALL SELECT conv_id, turn_idx, 4, lc + 11, 'Supplier' FROM m
+  UNION ALL SELECT conv_id, turn_idx, 5, lc + 20, substr(supp, 10) FROM m
+  UNION ALL SELECT conv_id, turn_idx, 6, lc + ls + 12, 'in' FROM m
+  UNION ALL SELECT conv_id, turn_idx, 7, lc + ls + 15, 'Nation' FROM m
+  UNION ALL SELECT conv_id, turn_idx, 8, lc + ls + 22, substr(nat, 8) FROM m
+  UNION ALL SELECT conv_id, turn_idx, 9, lc + ls + ln + 15, '.' FROM m
+),
+vocab AS (SELECT DISTINCT token FROM tok),
+vg1 AS (SELECT token, unnest(range(1, len(token)+1)) AS i FROM vocab),
+vg2 AS (SELECT DISTINCT token,
+               unnest([substr(lower(token), CAST(i AS INT), CAST(n AS INT))
+                       FOR n IN range(1, least(7, len(token)-CAST(i AS INT)+1)+1)])
+                 AS term
+        FROM vg1),
+tsc AS (SELECT g.token, d.tag, sum((d.c / t.tot) * (d.c / t.tot)) sc
+        FROM vg2 g JOIN tdict d ON g.term = d.term
+                   JOIN ttot t ON g.term = t.term
+        GROUP BY 1, 2),
+tst AS (SELECT token, sum(sc) stot FROM tsc GROUP BY 1),
+ptext AS (
+  SELECT v.token, c.tag,
+         CASE WHEN tst.stot IS NULL THEN c.n_cat / nd.n_docs
+              ELSE COALESCE(tsc.sc, 0) / tst.stot END AS p_text
+  FROM vocab v CROSS JOIN cats c CROSS JOIN nd
+  LEFT JOIN tst ON tst.token = v.token
+  LEFT JOIN tsc ON tsc.token = v.token AND tsc.tag = c.tag
+),
+vf AS ({vf_arms}),
+cf AS ({cf_arms}),
+bdict AS (SELECT fname, fvalue, tag, CAST(sum(w) AS DOUBLE) n
+          FROM cf GROUP BY 1, 2, 3),
+blp AS (
+  SELECT vf.token, c.tag,
+         ln(c.n_cat / nd.n_docs)
+           + sum(ln((COALESCE(b.n, 0) + 0.00001)
+                    / (c.n_cat + 0.00001 * nd.k))) AS lp
+  FROM vf CROSS JOIN cats c CROSS JOIN nd
+  LEFT JOIN bdict b ON b.fname = vf.fname AND b.fvalue = vf.fvalue
+                    AND b.tag = c.tag
+  GROUP BY vf.token, c.tag, c.n_cat, nd.n_docs, nd.k
+),
+btot AS (SELECT token, sum(lp) lt FROM blp GROUP BY 1),
+pb AS (SELECT blp.token, blp.tag, 1 - blp.lp / btot.lt AS p_bayes
+       FROM blp JOIN btot ON blp.token = btot.token),
+comb AS (SELECT pt.token, pt.tag, pt.p_text + pb.p_bayes AS s
+         FROM ptext pt JOIN pb ON pt.token = pb.token AND pt.tag = pb.tag),
+pick AS (SELECT token, tag,
+                row_number() OVER (PARTITION BY token
+                                   ORDER BY s DESC, tag ASC) rn
+         FROM comb)
+SELECT t.conv_id, t.turn_idx, t.tok_idx, t.tok_start, t.token,
+       p.tag AS pos
+FROM tok t JOIN pick p ON t.token = p.token AND p.rn = 1
 """
 
 
@@ -1210,6 +1361,7 @@ UNION ALL SELECT conv_id, turn_idx, 7, lc + ls + 15, 'Nation', 'NNP' FROM m
 UNION ALL SELECT conv_id, turn_idx, 8, lc + ls + 22, substr(nat, 8), 'NNP' FROM m
 UNION ALL SELECT conv_id, turn_idx, 9, lc + ls + ln + 15, '.', '.' FROM m
 """,
+        "pos_tag_clf": _pos_clf_oracle_sql(),
         "np_chunks": _BASE_CTE + """
 , dedup AS (
   SELECT * FROM (

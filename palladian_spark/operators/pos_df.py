@@ -99,6 +99,51 @@ def classifier_pos_tag_df(transcripts: DataFrame, model) -> DataFrame:
             .mapInPandas(run, POS_SCHEMA))
 
 
+def universal_pos_tag_df(transcripts: DataFrame, corpus=None) -> DataFrame:
+    """UniversalClassifier POS tagger (PalladianPosTagger parity:
+    char-1..7-gram TEXT classifier + nominal-feature Bayes, summed —
+    textproc.pos.UniversalPosTagger) as an Arrow stage.
+
+    The trained tagger (three count dicts) is broadcast once; each task
+    memoizes per distinct token, so the per-row Python inside the Arrow
+    batch collapses to one classification per VOCABULARY entry — the
+    right cost model for natural text, where the type/token ratio
+    vanishes at corpus scale."""
+    from palladian_spark.operators.mentions import ensure_map_parallelism
+    from palladian_spark.textproc.pos import UniversalPosTagger
+    spark = transcripts.sparkSession
+    tagger_bc = spark.sparkContext.broadcast(UniversalPosTagger(corpus))
+
+    def run(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from palladian_spark.textproc.tokenize import word_tokens
+        tagger = tagger_bc.value
+        cache: dict = {}
+        for pdf in iterator:
+            out = {k: [] for k in ("conv_id", "turn_idx", "tok_idx",
+                                   "tok_start", "token", "pos")}
+            for conv_id, turn_idx, text in zip(
+                    pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                if text is None:
+                    continue
+                for i, tok in enumerate(word_tokens(text)):
+                    tag = cache.get(tok.value)
+                    if tag is None:
+                        tag = tagger.tag_word(tok.value)
+                        if len(cache) < 500_000:
+                            cache[tok.value] = tag
+                    out["conv_id"].append(conv_id)
+                    out["turn_idx"].append(turn_idx)
+                    out["tok_idx"].append(i)
+                    out["tok_start"].append(tok.start)
+                    out["token"].append(tok.value)
+                    out["pos"].append(tag)
+            yield pd.DataFrame(out)
+
+    return (ensure_map_parallelism(transcripts)
+            .select("conv_id", "turn_idx", "text")
+            .mapInPandas(run, POS_SCHEMA))
+
+
 def np_chunks_df(tagged: DataFrame, kind: str = "NP") -> DataFrame:
     """Maximal same-set tag runs → chunks, gaps-and-islands JVM-side.
     Input: (conv_id, turn_idx, tok_idx, tok_start, token, pos)."""

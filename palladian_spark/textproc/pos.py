@@ -163,6 +163,143 @@ def classify_features(features: List[str], model: DictionaryModel):
 
 
 # ---------------------------------------------------------------------------
+# UniversalClassifier POS tagger (PalladianPosTagger parity, round 2)
+#
+# The reference builds a UniversalClassifier with TEXT (char-1..7-gram
+# PalladianTextClassifier over the word) + BAYES (NaiveBayes over the
+# nominal hand features) and sums the two probability distributions
+# (UniversalClassifier.java:83-95 via CategoryEntriesBuilder.add).  This is
+# that shape, expressed as closed-form algebra so the Spark relational twin
+# (operators/pos_df.py:pos_tag_clf_df) and its DuckDB oracle can replicate
+# every number bit-for-bit:
+#
+#   TEXT:  terms(w) = distinct lowercase char 1..7-grams;
+#          score(w,c) = Σ_t (n(t,c)/n(t))²; p_text = score/Σ (prior if no
+#          term matched — DefaultScorer's unmatched branch)
+#   BAYES: lp(w,c) = ln(prior_c) + Σ_f ln((n(f,v,c)+λ)/(n_c+λK)), λ=1e-5,
+#          log space (NaiveBayesClassifier.java:83-115);
+#          p_bayes = 1 − lp/Σ_c lp  (CategoryEntriesBuilder log-inversion)
+#   combine: p = (p_text + p_bayes) normalized; argmax, ties → tag asc
+#
+# Feature normalizations are ASCII simplifications of the StringHelper
+# helpers (startsUppercase/isCompletelyUppercase/isNumberOrNumberWord,
+# PalladianPosTagger.java:151-168) so Spark SQL and DuckDB compute them
+# identically; Unicode-category nuances are out of scope for the fixtures.
+# ---------------------------------------------------------------------------
+
+_NUMBER_WORDS = ("one", "two", "three", "four", "five", "six", "seven",
+                 "eight", "nine", "ten", "eleven", "twelve")
+_NORM_KEEP_RE = re.compile(r"[^`'\",.:;*()]")
+BAYES_LAPLACE = 0.00001
+
+
+def universal_features(word: str) -> List[Tuple[str, str]]:
+    """The 12 (feature, value) pairs of PalladianPosTagger.extractFeatures
+    (:151-168), values stringified for the nominal Bayes counts."""
+    wl = len(word)
+    low = word.lower()
+    is_num = bool(_NUMBER_RE.match(word)) or low in _NUMBER_WORDS
+    return [
+        ("startsUppercase", str(bool(word[:1].isupper())).lower()),
+        ("length1", str(wl == 1).lower()),
+        ("length2", str(wl == 2).lower()),
+        ("length3", str(wl == 3).lower()),
+        ("length", str(wl)),
+        ("number", str(is_num).lower()),
+        ("completelyUppercase", str(wl > 0 and word.isupper()).lower()),
+        ("normalizedLength", str(len(_NORM_KEEP_RE.sub("", word)))),
+        ("lastCharacter", word[-1:] if wl else ""),
+        ("firstCharacter", word[:1] if wl else ""),
+        ("lastTwoCharacters", word[-2:] if wl > 1 else ""),
+        ("word", word),
+    ]
+
+
+def _char_grams_1_7(word: str) -> List[str]:
+    """Distinct lowercase char 1..7-grams, first-seen order."""
+    low = word.lower()
+    seen: dict = {}
+    n_chars = len(low)
+    for off in range(n_chars):
+        for ln in range(1, min(7, n_chars - off) + 1):
+            seen.setdefault(low[off:off + ln], None)
+    return list(seen)
+
+
+class UniversalPosTagger:
+    """Per-token TEXT + BAYES classifier trained from (word, TAG) pairs."""
+
+    def __init__(self, corpus: Optional[Iterable[Tuple]] = None):
+        """``corpus``: (word, TAG) pairs or (word, TAG, weight) triples —
+        weight stands in for token frequency in a real corpus slice
+        (data/pos_corpus.POS_CORPUS_WEIGHTED is the bundled default)."""
+        if corpus is None:
+            from palladian_spark.data.pos_corpus import POS_CORPUS_WEIGHTED
+            corpus = POS_CORPUS_WEIGHTED
+        triples = [(row[0], normalize_tag(row[1]),
+                    int(row[2]) if len(row) > 2 else 1) for row in corpus]
+        self.categories = sorted({t for _, t, _ in triples})
+        self.cat_counts: Dict[str, int] = {}
+        self.term_counts: Dict[str, Dict[str, int]] = {}
+        self.feat_counts: Dict[Tuple[str, str], Dict[str, int]] = {}
+        for word, tag, w in triples:
+            self.cat_counts[tag] = self.cat_counts.get(tag, 0) + w
+            for term in _char_grams_1_7(word):
+                by_cat = self.term_counts.setdefault(term, {})
+                by_cat[tag] = by_cat.get(tag, 0) + w
+            for fname, fvalue in universal_features(word):
+                by_cat = self.feat_counts.setdefault((fname, fvalue), {})
+                by_cat[tag] = by_cat.get(tag, 0) + w
+        self.n_docs = sum(self.cat_counts.values())
+
+    def probabilities(self, word: str) -> Dict[str, float]:
+        import math
+        priors = {c: self.cat_counts[c] / self.n_docs
+                  for c in self.categories}
+        # TEXT half
+        text_score: Dict[str, float] = {c: 0.0 for c in self.categories}
+        matched = False
+        for term in _char_grams_1_7(word):
+            by_cat = self.term_counts.get(term)
+            if not by_cat:
+                continue
+            matched = True
+            tot = sum(by_cat.values())
+            for cat, n in by_cat.items():
+                text_score[cat] += (n / tot) ** 2
+        if matched:
+            total = sum(text_score.values())
+            p_text = {c: text_score[c] / total for c in self.categories}
+        else:
+            p_text = priors
+        # BAYES half (log space)
+        k = len(self.categories)
+        lp: Dict[str, float] = {}
+        for cat in self.categories:
+            v = math.log(priors[cat])
+            n_cat = self.cat_counts[cat]
+            for fname, fvalue in universal_features(word):
+                n = self.feat_counts.get((fname, fvalue), {}).get(cat, 0)
+                v += math.log((n + BAYES_LAPLACE)
+                              / (n_cat + BAYES_LAPLACE * k))
+            lp[cat] = v
+        lp_total = sum(lp.values())
+        p_bayes = {c: 1.0 - lp[c] / lp_total for c in self.categories}
+        # combine (CategoryEntriesBuilder.add + create)
+        s = {c: p_text[c] + p_bayes[c] for c in self.categories}
+        total = sum(s.values())
+        return {c: s[c] / total for c in self.categories}
+
+    def tag_word(self, word: str) -> str:
+        probs = self.probabilities(word)
+        return max(sorted(probs), key=lambda c: probs[c])
+
+    def tag(self, text: str) -> List[Tuple[Token, str]]:
+        """AbstractPosTagger.getAnnotations shape: aligned (token, TAG)."""
+        return [(tok, self.tag_word(tok.value)) for tok in word_tokens(text)]
+
+
+# ---------------------------------------------------------------------------
 # phrase chunking (PhraseChunker.java:11-25 interface)
 # ---------------------------------------------------------------------------
 

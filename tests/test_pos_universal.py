@@ -1,0 +1,84 @@
+"""UniversalClassifier POS tagger: accuracy gate vs the rule tagger and
+Python↔SQL lockstep for the oracle's feature/algebra expressions."""
+
+import duckdb
+import pytest
+
+from palladian_spark.textproc.pos import (
+    UniversalPosTagger, pos_tag_rules, universal_features)
+
+# hand-tagged fixture sentences (Penn-style golds)
+FIXTURES = [
+    ("The company shipped large orders to Berlin .",
+     ["DT", "NN", "VBD", "JJ", "NNS", "TO", "NNP", "."]),
+    ("Customer C42 works for Supplier S7 in Nation N3 .",
+     ["NNP", "NNP", "VBZ", "IN", "NNP", "NNP", "IN", "NNP", "NNP", "."]),
+    ("She visited Paris in March and was very happy .",
+     ["PRP", "VBD", "NNP", "IN", "NNP", "CC", "VBD", "RB", "JJ", "."]),
+    ("Prices are good but the market is not open .",
+     ["NNS", "VBP", "JJ", "CC", "DT", "NN", "VBZ", "RB", "JJ", "."]),
+    ("They have 42 new parts from China .",
+     ["PRP", "VBP", "CD", "JJ", "NNS", "IN", "NNP", "."]),
+]
+
+
+def _accuracy(tag_fn):
+    total = correct = 0
+    for text, gold in FIXTURES:
+        tokens = text.split(" ")
+        assert len(tokens) == len(gold)
+        for tok, want in zip(tokens, gold):
+            total += 1
+            if tag_fn(tok) == want:
+                correct += 1
+    return correct / total
+
+
+def test_universal_beats_or_matches_rule_tagger():
+    """The round-2 done-criterion: per-token accuracy gate vs the rule
+    tagger on the fixtures."""
+    from palladian_spark.textproc.pos import rule_pos_tag
+    tagger = UniversalPosTagger()
+    acc_clf = _accuracy(tagger.tag_word)
+    acc_rule = _accuracy(rule_pos_tag)
+    assert acc_clf >= acc_rule, (acc_clf, acc_rule)
+    assert acc_clf >= 0.9
+
+
+def test_universal_tagger_alignment():
+    tagger = UniversalPosTagger()
+    tagged = tagger.tag("Customer S45 works.")
+    assert [t[0].value for t in tagged] == ["Customer", "S45", "works", "."]
+    assert [t[1] for t in tagged] == ["NNP", "NNP", "VBZ", "."]
+
+
+@pytest.mark.parametrize("word", [
+    "Customer", "C42", "works", "for", ".", "1995", "one", "X", "ab",
+    "ABC", "don", "3.14", "1,000", "(", "Mixed", "lastTwo",
+])
+def test_feature_exprs_match_python(word):
+    """The oracle's DuckDB feature expressions must equal
+    universal_features — drift here silently breaks the pos_tag_clf
+    oracle."""
+    import __spark_entry__ as em
+    exprs = em._pos_clf_feature_exprs("token")
+    sel = ", ".join(f"{e} AS f{i}" for i, (_, e) in enumerate(exprs))
+    row = duckdb.sql(
+        f"SELECT {sel} FROM (SELECT '{word}' AS token)").fetchone()
+    got = [(exprs[i][0], row[i]) for i in range(len(exprs))]
+    assert got == universal_features(word)
+
+
+def test_probabilities_are_distribution():
+    tagger = UniversalPosTagger()
+    for word in ["Customer", "zzz", "42", "."]:
+        probs = tagger.probabilities(word)
+        assert abs(sum(probs.values()) - 1.0) < 1e-9
+        assert set(probs) == set(tagger.categories)
+
+
+def test_corpus_entries_unique():
+    """The SQL oracle dedups grams per (word, tag) row — duplicate corpus
+    rows would count differently in Python vs SQL."""
+    from palladian_spark.data.pos_corpus import POS_CORPUS
+    assert len(POS_CORPUS) == len(set(POS_CORPUS))
