@@ -37,7 +37,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    headline = [
+    headline_r01 = [
         "kg_triples",
         "candidates_stringtagger",
         "word_tokenize",
@@ -50,6 +50,13 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "multimodal_meta",
         "sessionize_events",
         "pos_tag",
+    ]
+    # round-2 operators (kept separate so the r01 subset stays comparable
+    # across rounds — see extra["headline_r01_total"])
+    headline = headline_r01 + [
+        "dates_tagged",
+        "pos_tag_clf",
+        "lang_id",
     ]
     queries = entrymod.queries()
     for name in headline:
@@ -74,6 +81,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     extra["turns"] = n_turns
     extra["triples_per_sec"] = round(extra["kg_triples_rows"] / timings["kg_triples"], 1)
     extra["turns_per_sec"] = round(n_turns / timings["kg_triples"], 1)
+    extra["headline_r01_total"] = round(
+        sum(timings[q] for q in headline_r01), 3)
 
     spark.stop()
     total = round(sum(timings.values()), 3)

@@ -56,16 +56,31 @@ def char_terms_col(text_col, setting: FeatureSetting):
         source = F.concat(F.lit(pad), source, F.lit(pad))
     length = F.length(source)
     min_n, max_n = setting.min_n, setting.max_n
-    empty = F.expr("CAST(array() AS array<int>)")
-    offsets = F.when(length >= min_n,
-                     F.sequence(F.lit(1), length - (min_n - 1))) \
-        .otherwise(empty)
-    nested = F.transform(
-        offsets,
-        lambda o: F.transform(
-            F.sequence(F.lit(min_n), F.least(F.lit(max_n), length - o + 1)),
-            lambda n: source.substr(o, n)))
-    grams = F.flatten(nested)
+    if min_n == max_n:
+        # flat form for the single-n case (the hot one — language ID,
+        # annotation dictionaries): guard short strings by FILTERING short
+        # grams instead of a when/otherwise empty-array branch — sequence
+        # with stop < start counts DOWN, and the flat shape generates a
+        # fraction of the nested form's codegen (the nested expression's
+        # one-time Janino compile was the dominant cost of a whole
+        # sf0.1 lang_id run)
+        n = min_n
+        idx = F.sequence(F.lit(1), F.greatest(length - (n - 1), F.lit(1)))
+        grams = F.filter(
+            F.transform(idx, lambda i: source.substr(i, F.lit(n))),
+            lambda g: F.length(g) == n)
+    else:
+        empty = F.expr("CAST(array() AS array<int>)")
+        offsets = F.when(length >= min_n,
+                         F.sequence(F.lit(1), length - (min_n - 1))) \
+            .otherwise(empty)
+        nested = F.transform(
+            offsets,
+            lambda o: F.transform(
+                F.sequence(F.lit(min_n),
+                           F.least(F.lit(max_n), length - o + 1)),
+                lambda m: source.substr(o, m)))
+        grams = F.flatten(nested)
     if setting.character_padding:
         grams = F.filter(
             grams, lambda g: g.rlike("[^#]"))  # drop all-padding grams
@@ -80,10 +95,53 @@ def terms_col(text_col, setting: FeatureSetting):
     return word_terms_col(text_col, setting)
 
 
+def _char_terms_rows(docs: DataFrame, text_col: str,
+                     setting: FeatureSetting) -> DataFrame:
+    """Single-n char terms as exploded rows, never as an array column.
+
+    Higher-order functions (transform/filter lambdas) are NOT whole-stage
+    codegen'd — Spark evaluates the lambda interpreter per element, which
+    measured ~100 µs/gram and made gram extraction the cost center of a
+    lang_id run.  Exploding the integer OFFSETS instead and computing
+    ``substr`` as a top-level projected expression keeps every operator
+    inside codegen; the per-document distinct + first-seen maxTerms cap
+    become one aggregation + one window, both keyed on the document — the
+    shape that scales (no giant arrays in memory either).
+    """
+    n = setting.min_n
+    keys = [c for c in docs.columns if c != text_col]
+    source = (F.col(text_col) if setting.case_sensitive
+              else F.lower(F.col(text_col)))
+    if setting.character_padding:
+        pad = "#" * (setting.max_n - 1)
+        source = F.concat(F.lit(pad), source, F.lit(pad))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(source) - (n - 1),
+                                          F.lit(1)))
+    rows = (docs
+            .select(*keys, source.alias("_src"), F.explode(idx).alias("_i"))
+            .select(*keys, F.col("_src").substr(F.col("_i"), F.lit(n))
+                    .alias("term"), "_i")
+            .where(F.length("term") == n))
+    if setting.character_padding:
+        rows = rows.where(F.col("term") != "#" * n)
+    # per-document distinct, first-seen order = min offset (single n ⇒ no
+    # two distinct terms share an offset, so the order is total)
+    firsts = (rows.groupBy(*keys, "term")
+              .agg(F.min("_i").alias("_first")))
+    w = Window.partitionBy(*keys).orderBy("_first")
+    return (firsts
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= setting.max_terms)
+            .select(*keys, "term"))
+
+
 def doc_terms_df(docs: DataFrame, text_col: str = "text",
                  setting: FeatureSetting | None = None) -> DataFrame:
     """Explode each document into (…keys, term) rows."""
+    from palladian_spark.classification.dictionary import CHAR_NGRAMS
     setting = setting or FeatureSetting.words(1)
+    if setting.feature_type == CHAR_NGRAMS and setting.min_n == setting.max_n:
+        return _char_terms_rows(docs, text_col, setting)
     keys = [c for c in docs.columns if c != text_col]
     return (docs
             .withColumn("_terms", terms_col(F.col(text_col), setting))
@@ -102,12 +160,14 @@ def build_dictionary_df(docs: DataFrame, category_col: str,
     size lever at web scale (SURVEY.md §4).
     """
     w = F.col(weight_col) if weight_col else F.lit(1.0)
-    terms = (docs
-             .withColumn("_w", w)
-             .withColumn("_terms", terms_col(F.col(text_col),
-                                             setting or FeatureSetting.words(1)))
-             .select(F.col(category_col).alias("category"), "_w",
-                     F.explode("_terms").alias("term")))
+    # route through doc_terms_df so the char single-n fast path applies;
+    # the synthetic _doc id only scopes the per-document distinct — counts
+    # never depend on its values
+    src = (docs
+           .select(F.col(category_col).alias("category"), w.alias("_w"),
+                   F.col(text_col).alias(text_col))
+           .withColumn("_doc", F.monotonically_increasing_id()))
+    terms = doc_terms_df(src, text_col, setting or FeatureSetting.words(1))
     counted = (terms.groupBy("term", "category")
                .agg(F.sum("_w").alias("count")))
     if min_count > 1:
@@ -169,7 +229,10 @@ def classify_df(docs: DataFrame, dictionary: DataFrame, priors: DataFrame,
             .where(F.col("_rn") == 1)
             .select(*id_cols, F.col("category").alias("predicted"), "prob"))
 
-    # unmatched docs → prior argmax (scorer.scoreCategory unmatched branch)
+    # unmatched docs → prior argmax (scorer.scoreCategory unmatched branch).
+    # A left join + coalesce, NOT an anti-join + union: the anti-join form
+    # embedded the whole scoring subtree twice in one plan, doubling the
+    # term-extraction work per action.
     prior_total = priors.agg(F.sum("num_documents")).collect()[0][0] or 1.0
     prior_best = (priors.orderBy(F.desc("num_documents"), F.asc("category"))
                   .limit(1).collect())
@@ -177,11 +240,12 @@ def classify_df(docs: DataFrame, dictionary: DataFrame, priors: DataFrame,
     fallback_prob = (prior_best[0]["num_documents"] / prior_total
                      if prior_best else 0.0)
 
-    unmatched = (docs.select(*id_cols)
-                 .join(best.select(*id_cols), id_cols, "left_anti")
-                 .withColumn("predicted", F.lit(fallback_cat))
-                 .withColumn("prob", F.lit(float(fallback_prob))))
-    out = best.unionByName(unmatched)
+    out = (docs.select(*id_cols)
+           .join(best, id_cols, "left")
+           .withColumn("predicted",
+                       F.coalesce("predicted", F.lit(fallback_cat)))
+           .withColumn("prob",
+                       F.coalesce("prob", F.lit(float(fallback_prob)))))
     if round_decimals is not None:
         out = out.withColumn("prob", F.round("prob", round_decimals))
     return out

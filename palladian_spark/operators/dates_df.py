@@ -28,6 +28,10 @@ def tag_datetimes_df(transcripts: DataFrame,
     include bare YYYYWW/YYYYDDD digit runs, so any text containing 4+
     digits is a candidate — which in transcripts is nearly everything.
     """
+    from palladian_spark.operators.mentions import ensure_map_parallelism
+    # the scan is Python-CPU-bound (~0.7 ms/turn single-core): a small
+    # single-file input must not pin the whole stage to one task
+    transcripts = ensure_map_parallelism(transcripts)
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from palladian_spark.textproc.dates import find_date_formats

@@ -57,17 +57,21 @@ SENTENCE_SCHEMA = StructType([
 ])
 
 
-def repartition_salted(df: DataFrame, num_partitions: Optional[int] = None) -> DataFrame:
-    """Skew-aware repartition: hash on (conv_id, turn_idx) so a hot
-    conversation spreads across partitions.  Lossless for all turn-local
-    stages (mention extraction never needs cross-turn state — SURVEY.md §2.9)."""
-    cols = [F.xxhash64("conv_id", "turn_idx")]
+def repartition_salted(df: DataFrame, num_partitions: Optional[int] = None,
+                       salt_cols: tuple = ("conv_id", "turn_idx")) -> DataFrame:
+    """Skew-aware repartition: hash on ``salt_cols`` (default the turn key)
+    so a hot conversation spreads across partitions.  Lossless for all
+    row-local stages (mention extraction never needs cross-turn state —
+    SURVEY.md §2.9)."""
+    cols = [F.xxhash64(*salt_cols)]
     if num_partitions:
         return df.repartition(num_partitions, *cols)
     return df.repartition(*cols)
 
 
-def ensure_map_parallelism(df: DataFrame) -> DataFrame:
+def ensure_map_parallelism(df: DataFrame,
+                           salt_cols: tuple = ("conv_id", "turn_idx")
+                           ) -> DataFrame:
     """Guarantee the Python-heavy Arrow stages get full-cluster parallelism.
 
     When the upstream plan ends in a small scan or an AQE-coalesced shuffle
@@ -102,7 +106,7 @@ def ensure_map_parallelism(df: DataFrame) -> DataFrame:
         n_files = 0
     if n_files >= target:
         return df
-    return repartition_salted(df, target)
+    return repartition_salted(df, target, salt_cols)
 
 
 def _batch_tagger(tagger_fn):

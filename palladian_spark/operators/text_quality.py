@@ -75,15 +75,40 @@ def language_id_clf(docs: DataFrame, train_docs: DataFrame | None = None,
         CHAR_NGRAMS, FeatureSetting)
     from palladian_spark.classification.train_df import (
         build_dictionary_df, category_priors_df, classify_df)
-    train = train_docs if train_docs is not None else docs
+    # The n-gram projection is the cost center; a small single-file scan
+    # must not pin it (and everything downstream) to one task.  ROUND-ROBIN
+    # repartition, deliberately: with hash repartitioning Catalyst places
+    # the partitioning projection on the pre-shuffle (1-task) side and the
+    # gram arrays get built there — measured 7× slower than round-robin on
+    # the sf0.1 documents table.  Gram extraction is row-local, so no
+    # co-location is needed.
+    def _spread(df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        target = spark.sparkContext.defaultParallelism * 2
+        try:
+            if len(df.inputFiles()) >= target:
+                return df
+        except Exception:
+            pass
+        return df.repartition(target)
+
+    docs = _spread(docs)
+    train = _spread(train_docs) if train_docs is not None else docs
     # maxTerms effectively unbounded: a language profile wants the whole
     # document's gram set, and the SQL oracle's plain DISTINCT then
     # matches first-seen-distinct exactly
     setting = FeatureSetting(CHAR_NGRAMS, ngram_n, ngram_n,
                              max_terms=1_000_000)
+    spark = docs.sparkSession
     d = build_dictionary_df(train.select(F.col(lang_col), F.col(text_col)),
                             lang_col, text_col, setting)
     p = category_priors_df(train, lang_col)
+    # materialize the MODEL once: the dictionary is broadcast-small by
+    # design (min_count is the size lever), and classify_df's plan
+    # references it from several actions — without this every action
+    # re-runs the training aggregation over the corpus
+    d = spark.createDataFrame(d.collect(), d.schema)
+    p = spark.createDataFrame(p.collect(), p.schema)
     return (classify_df(docs.select(id_col, text_col), d, p, [id_col],
                         text_col, setting, round_decimals)
             .select(id_col, F.col("predicted").alias("lang_pred"),

@@ -146,3 +146,25 @@ def test_language_id_clf_self_consistent(spark):
     got = {r["doc_id"]: r["lang_pred"]
            for r in language_id_clf(docs).collect()}
     assert got == {"d1": "en", "d2": "en", "d3": "xx", "d4": "xx"}
+
+
+def test_char_terms_rows_match_python(spark):
+    """The exploded-offsets single-n char path (codegen fast path) must
+    produce exactly document_terms' distinct set, first-seen capped."""
+    from palladian_spark.classification.dictionary import (
+        FeatureSetting, document_terms)
+    from palladian_spark.classification.train_df import doc_terms_df
+
+    texts = ["Hello World", "aaa", "ab", "Mixed CASE text 42!", "x",
+             "mississippi"]
+    for setting in [FeatureSetting.chars(4),
+                    FeatureSetting.chars(5, padding=True),
+                    FeatureSetting("char", 3, 3, max_terms=4)]:
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+        got = {}
+        for r in doc_terms_df(df, "text", setting).collect():
+            got.setdefault(r["doc_id"], set()).add(r["term"])
+        want = {i: set(document_terms(t, setting))
+                for i, t in enumerate(texts) if document_terms(t, setting)}
+        assert got == want, setting
