@@ -163,9 +163,17 @@ def canonicalize_triples(triples: DataFrame, entity_dict: DataFrame,
                          metric: str = "jaro_winkler",
                          threshold: float = 0.9,
                          persist: bool = True,
-                         cache_handles: Optional[list] = None) -> DataFrame:
+                         cache_handles: Optional[list] = None,
+                         min_link_sim: Optional[float] = None,
+                         drop_unlinked: bool = False) -> DataFrame:
     """Replace subj/obj surface forms with canonical entity surfaces via the
     linking stage (broadcast joins), then dedup per (conv, turn, s, p, o).
+
+    ``min_link_sim`` keeps only mapping entries whose link similarity
+    reaches the bar (exact hits carry 1.0); ``drop_unlinked`` then drops
+    triples where EITHER side resolved to no canonical entity — the knob
+    that stops unlinked garbage from flowing into the graph untouched.
+    Defaults preserve round-1 behavior (everything passes through).
 
     Scale design, mapping-first (measured: the naive distinct-then-link
     shape spent 17 of 27 s re-shuffling the triple stream at sf0.1, and a
@@ -215,12 +223,17 @@ def canonicalize_triples(triples: DataFrame, entity_dict: DataFrame,
                 .join(dict_norm, normalize_surface(F.col("value")) == F.col("_key"),
                       "left"))
     mapping = resolved.where(F.col("_canon").isNotNull()) \
-        .select("value", F.col("_canon").alias("canon"))
+        .select("value", F.col("_canon").alias("canon"),
+                F.lit(1.0).alias("link_sim"))
     if fuzzy_enabled(metric):
         misses = resolved.where(F.col("_canon").isNull()).select("value")
         fuzzy_map = (fuzzy_link_df(misses, entity_dict, metric, threshold)
-                     .select("value", F.col("canonical").alias("canon")))
+                     .select("value", F.col("canonical").alias("canon"),
+                             "link_sim"))
         mapping = mapping.unionByName(fuzzy_map)
+    if min_link_sim is not None:
+        mapping = mapping.where(F.col("link_sim") >= min_link_sim)
+    mapping = mapping.select("value", "canon")
     mapping = mapping.persist()
     if cache_handles is not None:
         cache_handles.append(mapping)
@@ -232,14 +245,19 @@ def canonicalize_triples(triples: DataFrame, entity_dict: DataFrame,
            .join(mapping.withColumnRenamed("value", "_sv")
                         .withColumnRenamed("canon", "_sc"),
                  triples.subj == F.col("_sv"), "left")
+           .withColumn("_subj_linked", F.col("_sc").isNotNull())
            .withColumn("subj", F.coalesce("_sc", "subj"))
            .drop("_sv", "_sc"))
     out = (out
            .join(mapping.withColumnRenamed("value", "_ov")
                         .withColumnRenamed("canon", "_oc"),
                  out.obj == F.col("_ov"), "left")
+           .withColumn("_obj_linked", F.col("_oc").isNotNull())
            .withColumn("obj", F.coalesce("_oc", "obj"))
            .drop("_ov", "_oc"))
+    if drop_unlinked:
+        out = out.where(F.col("_subj_linked") & F.col("_obj_linked"))
+    out = out.drop("_subj_linked", "_obj_linked")
     return (out.groupBy("conv_id", "turn_idx", "subj", "pred", "obj")
             .agg(F.min("subj_start").alias("subj_start"),
                  F.min("subj_end").alias("subj_end"),

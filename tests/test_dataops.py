@@ -208,3 +208,39 @@ def test_annotation_dictionary_df_matches_python(spark):
     got = {(r["term"], r["category"]): float(r["n"])
            for r in build_annotation_dictionary_df(df).collect()}
     assert got == expected
+
+
+def test_canonicalize_min_link_sim_and_drop_unlinked(spark):
+    """The round-2 knob: min_link_sim gates the fuzzy mapping, and
+    drop_unlinked removes triples with an unresolvable side instead of
+    passing garbage into the graph."""
+    from pyspark.sql import functions as F
+    from palladian_spark.relations import canonicalize_triples
+
+    triples = spark.createDataFrame(
+        [("c0", 0, "alice johnson", "works_for", "Acme Corp",
+          0, 5, 10, 14, 1.0),
+         ("c0", 1, "Garbage Xyz", "works_for", "Acme Corp",
+          0, 5, 10, 14, 1.0)],
+        "conv_id string, turn_idx int, subj string, pred string, obj string,"
+        " subj_start int, subj_end int, obj_start int, obj_end int,"
+        " conf double")
+    entity_dict = spark.createDataFrame(
+        [("e1", "Alice Johnson", "PER"), ("e2", "Acme Corp", "ORG")],
+        "entity_id string, surface string, concept string")
+
+    # default: everything passes through (round-1 behavior)
+    base = canonicalize_triples(triples, entity_dict, persist=False)
+    subjects = {r["subj"] for r in base.collect()}
+    assert subjects == {"Alice Johnson", "Garbage Xyz"}
+
+    # drop_unlinked: the garbage-subject triple disappears
+    strict = canonicalize_triples(triples, entity_dict, persist=False,
+                                  drop_unlinked=True)
+    assert {r["subj"] for r in strict.collect()} == {"Alice Johnson"}
+
+    # min_link_sim above 1.0-exact still keeps exact hits; an impossible
+    # bar (>1) empties the mapping, so with drop_unlinked nothing survives
+    none_left = canonicalize_triples(triples, entity_dict, persist=False,
+                                     min_link_sim=1.1, drop_unlinked=True)
+    assert none_left.count() == 0
