@@ -104,3 +104,33 @@ def test_windowed_mention_counts_schema(spark, workdir):
     # append mode only emits closed windows; schema is the contract here
     result = spark.sql("SELECT * FROM win_counts")
     assert set(result.columns) == {"window", "conv_id", "n_turns", "n_chars"}
+
+
+def test_lineage_idempotent_under_replay(spark, workdir):
+    """ADVICE round-2 fix: a replayed batch_id (checkpoint lost between
+    parquet write and commit) must OVERWRITE its lineage row, not append a
+    duplicate — the audit table stays one row per batch."""
+    import shutil
+    from palladian_spark.pipeline import default_model
+    from palladian_spark.data.transcripts import entity_dictionary_pdf
+    from palladian_spark.streaming.incremental import run_incremental_pipeline
+
+    in_dir, out_dir = str(workdir / "in"), str(workdir / "out")
+    entity_dict = spark.createDataFrame(
+        entity_dictionary_pdf().assign(
+            entity_id=lambda d: d["concept"].str.lower() + ":" + d["surface"]))
+    model = default_model()
+    _write_batch(spark, in_dir, "b1", 3)
+    run_incremental_pipeline(spark, in_dir, out_dir, model, entity_dict)
+    triples_before = spark.read.parquet(f"{out_dir}/triples").count()
+    lineage_before = spark.read.parquet(f"{out_dir}/lineage").collect()
+
+    # lose the checkpoint → the whole input replays under the SAME batch ids
+    shutil.rmtree(f"{out_dir}/_checkpoint")
+    run_incremental_pipeline(spark, in_dir, out_dir, model, entity_dict)
+
+    lineage_after = spark.read.parquet(f"{out_dir}/lineage").collect()
+    assert len(lineage_after) == len(lineage_before)   # no duplicate rows
+    assert {r["batch_id"] for r in lineage_after} == \
+        {r["batch_id"] for r in lineage_before}
+    assert spark.read.parquet(f"{out_dir}/triples").count() == triples_before
