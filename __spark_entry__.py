@@ -619,6 +619,22 @@ def _q_np_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_tag")
 
 
+def _q_word_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 1..3-grams + skip-grams (NGramWrapperIterator /
+    SkipGramWrapperIterator, SURVEY.md §2.2) as lead() windows over the
+    token table — one shuffle, codegen throughout.  Turns deduped first
+    (duplicate (conv, turn) keys would interleave the windows)."""
+    from pyspark.sql import Window
+    from palladian_spark.operators.mentions import (
+        word_ngrams_df, word_tokens_df)
+    t = _tpch_transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("text")
+    t = (t.withColumn("_rn", F.row_number().over(w))
+         .where(F.col("_rn") == 1).drop("_rn"))
+    return word_ngrams_df(word_tokens_df(t), max_n=3, skip_grams=True) \
+        .select("conv_id", "turn_idx", "tok_idx", "n", "kind", "gram")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "candidates_stringtagger": _q_candidates,
@@ -656,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gazetteer_scan": _q_gazetteer,
         "complete_retrain_removed": _q_complete_retrain,
         "dates_tagged": _q_dates_tagged,
+        "word_skipgrams": _q_word_skipgrams,
         "sessionize_events": _q_sessionize,
         "event_windows": _q_event_windows,
         "user_activity": _q_user_activity,
@@ -1155,6 +1172,41 @@ SELECT DISTINCT 'nation n' || CAST(s.s_nationkey AS VARCHAR) AS remove_value
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+""",
+        "word_skipgrams": _BASE_CTE + """
+, dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY cust || ' works for ' || supp || ' in ' || nat || '.') rn
+    FROM base)
+  WHERE rn = 1
+), m AS (SELECT conv_id, turn_idx, cust, supp, nat FROM dedup),
+tk AS (
+  SELECT conv_id, turn_idx, CAST(0 AS INT) AS tok_idx, 'Customer' AS token FROM m
+  UNION ALL SELECT conv_id, turn_idx, 1, substr(cust, 10) FROM m
+  UNION ALL SELECT conv_id, turn_idx, 2, 'works' FROM m
+  UNION ALL SELECT conv_id, turn_idx, 3, 'for' FROM m
+  UNION ALL SELECT conv_id, turn_idx, 4, 'Supplier' FROM m
+  UNION ALL SELECT conv_id, turn_idx, 5, substr(supp, 10) FROM m
+  UNION ALL SELECT conv_id, turn_idx, 6, 'in' FROM m
+  UNION ALL SELECT conv_id, turn_idx, 7, 'Nation' FROM m
+  UNION ALL SELECT conv_id, turn_idx, 8, substr(nat, 8) FROM m
+  UNION ALL SELECT conv_id, turn_idx, 9, '.' FROM m
+), led AS (
+  SELECT conv_id, turn_idx, tok_idx, token,
+         lead(token, 1) OVER w AS t1, lead(token, 2) OVER w AS t2
+  FROM tk
+  WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY tok_idx)
+)
+SELECT conv_id, turn_idx, tok_idx, CAST(1 AS INT) AS n, 'gram' AS kind,
+       token AS gram FROM led
+UNION ALL SELECT conv_id, turn_idx, tok_idx, 2, 'gram',
+       token || ' ' || t1 FROM led WHERE t1 IS NOT NULL
+UNION ALL SELECT conv_id, turn_idx, tok_idx, 3, 'gram',
+       token || ' ' || t1 || ' ' || t2 FROM led WHERE t2 IS NOT NULL
+UNION ALL SELECT conv_id, turn_idx, tok_idx, 3, 'skip',
+       token || ' ' || t2 FROM led WHERE t2 IS NOT NULL
 """,
         # expected dates reconstructed analytically from the deterministic
         # text template: 'Order logged <rfc> confirmed <iso> eu <eu> us

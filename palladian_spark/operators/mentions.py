@@ -198,6 +198,46 @@ def word_tokens_df(transcripts: DataFrame) -> DataFrame:
             .mapInPandas(run, TOKEN_SCHEMA))
 
 
+def word_ngrams_df(tokens: DataFrame, max_n: int = 3,
+                   skip_grams: bool = False) -> DataFrame:
+    """Word n-grams 1..max_n (NGramWrapperIterator.java:35-71) and, with
+    ``skip_grams``, the 'first last' skip-gram of every >2-word gram
+    (SkipGramWrapperIterator.java:30-54) — from the token table via
+    lead() windows: ONE shuffle on the turn key, everything else codegen.
+
+    Input: (conv_id, turn_idx, tok_idx, token, …); output adds
+    (n, kind ∈ {gram, skip}, gram).  Callers must deduplicate duplicate
+    (conv_id, turn_idx) turns first — lead() would interleave them.
+    """
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("tok_idx")
+    cols = {"_t0": F.col("token")}
+    for k in range(1, max_n):
+        cols[f"_t{k}"] = F.lead("token", k).over(w)
+    base = tokens.select(
+        "conv_id", "turn_idx", "tok_idx",
+        *[c.alias(name) for name, c in cols.items()])
+    parts = []
+    for n in range(1, max_n + 1):
+        gram = F.concat_ws(" ", *[F.col(f"_t{k}") for k in range(n)])
+        keep = base if n == 1 else base.where(
+            F.col(f"_t{n-1}").isNotNull())
+        parts.append(keep.select(
+            "conv_id", "turn_idx", "tok_idx",
+            F.lit(n).cast("int").alias("n"),
+            F.lit("gram").alias("kind"), gram.alias("gram")))
+        if skip_grams and n > 2:
+            parts.append(keep.select(
+                "conv_id", "turn_idx", "tok_idx",
+                F.lit(n).cast("int").alias("n"),
+                F.lit("skip").alias("kind"),
+                F.concat_ws(" ", F.col("_t0"),
+                            F.col(f"_t{n-1}")).alias("gram")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def dictionary_tag_df(transcripts: DataFrame, entity_dict: DataFrame,
                       max_words: int = 4, de_nest: bool = True) -> DataFrame:
     """Gazetteer scan (DictionaryTagger, extraction/DictionaryTagger.java:

@@ -120,3 +120,30 @@ def test_get_sentences_only_real():
     assert get_sentences(text, only_real_sentences=True) == [
         "This is a real sentence.", "And here is another good one?"]
     assert get_sentences(text)[:2] == ["This is a real sentence.", "Go!"]
+
+
+def test_word_ngrams_df_matches_python(spark):
+    """Relational n-gram/skip-gram windows ≡ iter_word_ngrams +
+    iter_skip_grams per turn."""
+    from palladian_spark.operators.mentions import (
+        word_ngrams_df, word_tokens_df)
+    from palladian_spark.textproc.tokenize import (
+        iter_skip_grams, iter_word_ngrams)
+    texts = [("c0", 0, "Customer C7 works for Supplier S2 in Nation N1."),
+             ("c0", 1, "Short one."),
+             ("c1", 0, "x")]
+    t = spark.createDataFrame(texts,
+                              "conv_id string, turn_idx int, text string")
+    got = {}
+    rows = word_ngrams_df(word_tokens_df(t), max_n=3,
+                          skip_grams=True).collect()
+    for r in rows:
+        got.setdefault((r["conv_id"], r["turn_idx"]), []).append(
+            (r["kind"], r["gram"]))
+    for conv, turn, text in texts:
+        grams = [("gram", g) for g in iter_word_ngrams(text, 1, 3)]
+        skips = [("skip", p[0] + " " + p[-1])
+                 for g in iter_word_ngrams(text, 1, 3)
+                 if len(p := g.split(" ")) > 2]
+        want = sorted(grams + skips)
+        assert sorted(got[(conv, turn)]) == want, (conv, turn)
