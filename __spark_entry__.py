@@ -542,6 +542,17 @@ def _q_dates_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("conv_id", "turn_idx", "value", "fmt", "m_start")
 
 
+def _q_ann_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-1 neighbor via an IVF coarse quantizer (k-means||
+    centroids → posting lists → n_probe probed lists per query) — the
+    second scale path for similarity search next to LSH.  Approximate by
+    design → no SQL oracle; rows-only check + recall-vs-exact in pytest."""
+    from palladian_spark.operators.similarity_search import ivf_top_k
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_top_k(emb, k=1, n_probe=2, seed=42) \
+        .select("a_id", "b_id", "cos_sim")
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization of the events stream (30-min
     inactivity timeout) — the conversation-segmentation shape at scale."""
@@ -678,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity": _q_user_activity,
         # approximate by design: no oracle_sql entry → rows-only check
         "ann_lsh_top1": _q_ann_lsh_top1,
+        "ann_ivf_top1": _q_ann_ivf_top1,
     }
 
 

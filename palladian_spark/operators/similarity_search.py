@@ -354,6 +354,98 @@ def lsh_bucketed_top_k(embeddings: DataFrame, k: int = 1,
     return _global_top_k(partials, k)
 
 
+def ivf_top_k(embeddings: DataFrame, k: int = 1,
+              n_centroids: int | None = None, n_probe: int = 2,
+              seed: int = 42, round_decimals: int = 4,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              chunk_rows: int = 1024, max_iter: int = 10) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer:
+    k-means centroids partition the space, every vector lives in its
+    nearest centroid's posting list, and each query probes its ``n_probe``
+    nearest centroids — exact scoring only inside the probed lists.
+
+    Distributed shape: the quantizer is Spark ML KMeans (k-means||); the
+    centroid matrix is MODEL-sized (n_centroids × d) and broadcast, so
+    assignment is one Arrow matmul pass emitting member + probe rows,
+    scoring runs per centroid in ``chunk_rows`` slices, and partial
+    top-ks reduce globally — the same window reduce as the exact path.
+    n_centroids defaults to √N (the classic IVF sizing), so posting
+    lists stay ~√N and total probed work is O(N·√N / lists) per query
+    batch instead of O(N²).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = embeddings.count()
+    if n_centroids is None:
+        n_centroids = max(1, min(int(math.sqrt(n)), n))
+    n_probe = min(n_probe, n_centroids)
+
+    src = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"))
+    feat = src.withColumn("_f", array_to_vector("vec"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter,
+                   featuresCol="_f", predictionCol="_c").fit(feat)
+    centers = np.array(model.clusterCenters(), dtype=np.float64)
+    cnorm = np.linalg.norm(centers, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    centers_bc = src.sparkSession.sparkContext.broadcast(
+        centers / cnorm[:, None])
+
+    tagged_schema = StructType([
+        StructField("bucket", IntegerType()),
+        StructField("role", IntegerType()),  # 0 = member, 1 = probing query
+        StructField("id", LongType()),
+        StructField("vec", src.schema["vec"].dataType),
+    ])
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cu = centers_bc.value
+        for pdf in it:
+            unit = _unit(np.array(list(pdf["vec"]), dtype=np.float64))
+            sims = unit @ cu.T
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            frames = [pd.DataFrame({
+                "bucket": order[:, 0].astype(np.int32),
+                "role": np.zeros(len(ids), dtype=np.int32),
+                "id": ids, "vec": pdf["vec"]})]
+            for j in range(n_probe):
+                frames.append(pd.DataFrame({
+                    "bucket": order[:, j].astype(np.int32),
+                    "role": np.ones(len(ids), dtype=np.int32),
+                    "id": ids, "vec": pdf["vec"]}))
+            yield pd.concat(frames, ignore_index=True)
+
+    tagged = src.mapInPandas(assign, tagged_schema)
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        members = pdf[pdf["role"] == 0]
+        queries = pdf[pdf["role"] == 1]
+        if members.empty or queries.empty:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []})
+        m_ids = members["id"].to_numpy(dtype=np.int64)
+        order = np.argsort(m_ids, kind="stable")
+        m_ids = m_ids[order]
+        m_unit = _unit(np.array(list(members["vec"].iloc[order]),
+                                dtype=np.float64))
+        q_ids = queries["id"].to_numpy(dtype=np.int64)
+        q_unit = _unit(np.array(list(queries["vec"]), dtype=np.float64))
+        frames = [pd.DataFrame(cols) for cols in _topk_partials(
+            q_ids, q_unit, m_ids, m_unit, k, round_decimals, chunk_rows)]
+        if not frames:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []})
+        return pd.concat(frames, ignore_index=True)
+
+    partials = (tagged.groupBy("bucket")
+                .applyInPandas(per_bucket, PARTIAL_SCHEMA)
+                # a pair found via several probed buckets has the same
+                # rounded cosine — dedupe before the reduce
+                .dropDuplicates(["a_id", "b_id"]))
+    return _global_top_k(partials, k)
+
+
 def lsh_bucketed_pairs(embeddings: DataFrame, threshold: float = 0.95,
                        n_planes: int | None = None, n_tables: int = 2,
                        seed: int = 42, round_decimals: int = 4,

@@ -148,3 +148,20 @@ def test_auto_planes_formula():
     assert _auto_planes(10**6, 4096) == 8          # 2^8 buckets of ~4k
     assert _auto_planes(10**9, 4096) == 18         # scales with N
     assert _auto_planes(10**12, 4096) == 24        # clamped
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF coarse-quantizer ANN: on clustered data the probed posting
+    lists must recover most true top-1 neighbors."""
+    from palladian_spark.operators.similarity_search import (
+        block_matmul_top_k, ivf_top_k)
+    emb = _clustered(spark, n_clusters=40, per_cluster=10).cache()
+    exact = {r["a_id"]: r["b_id"]
+             for r in block_matmul_top_k(emb, k=1).collect()}
+    approx = {r["a_id"]: r["b_id"]
+              for r in ivf_top_k(emb, k=1, n_centroids=20,
+                                 n_probe=3).collect()}
+    assert len(approx) > 0.8 * len(exact)
+    hits = sum(1 for a, b in approx.items() if exact.get(a) == b)
+    assert hits / len(approx) > 0.5
+    emb.unpersist()
