@@ -630,6 +630,43 @@ def _q_np_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_tag")
 
 
+def _dedup_turns(t: DataFrame) -> DataFrame:
+    """Deterministic turn dedup (duplicate (conv, turn) keys exist in the
+    derived transcripts by construction)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("text")
+    return (t.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
+
+
+def _q_context_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """buildContextDictionary (PalladianNer.java:894-906): char-5-gram →
+    tag counts over each mention's ±40-char trimmed context — join +
+    JVM slicing + gram explode + hash agg.  The oracle reconstructs every
+    context string analytically from the template and replays the gram
+    count in SQL."""
+    from palladian_spark.ner.train_df import build_context_dictionary_df
+    from palladian_spark.operators.mentions import extract_mentions
+    t = _dedup_turns(_tpch_transcripts(spark, sf_dir))
+    mentions = extract_mentions(t, _tpch_model(spark, sf_dir))
+    return build_context_dictionary_df(t, mentions) \
+        .select("term", "category", "n")
+
+
+def _q_left_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """buildLeftContexts (PalladianNer.java:860-892): cumulative 1..3-word
+    windows left of each mention (digits → §), kept when
+    uppercase-starting, outside ≥ 2 and inside/outside < 1.  Digit
+    masking collapses every key of the same digit-length onto one
+    boundary context, which the oracle states analytically."""
+    from palladian_spark.ner.train_df import build_left_contexts_df
+    from palladian_spark.operators.mentions import extract_mentions
+    t = _dedup_turns(_tpch_transcripts(spark, sf_dir))
+    mentions = extract_mentions(t, _tpch_model(spark, sf_dir))
+    return build_left_contexts_df(t, mentions) \
+        .select("left_context", "n_outside", "n_inside")
+
+
 def _q_word_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word 1..3-grams + skip-grams (NGramWrapperIterator /
     SkipGramWrapperIterator, SURVEY.md §2.2) as lead() windows over the
@@ -684,6 +721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complete_retrain_removed": _q_complete_retrain,
         "dates_tagged": _q_dates_tagged,
         "word_skipgrams": _q_word_skipgrams,
+        "context_dictionary": _q_context_dictionary,
+        "left_contexts": _q_left_contexts,
         "sessionize_events": _q_sessionize,
         "event_windows": _q_event_windows,
         "user_activity": _q_user_activity,
@@ -1184,6 +1223,70 @@ SELECT DISTINCT 'nation n' || CAST(s.s_nationkey AS VARCHAR) AS remove_value
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+""",
+        # digit masking collapses same-digit-length keys onto one boundary
+        # context: 'C§§ works for' / 'S§ in' with per-length turn counts;
+        # lowercase-starting windows are filtered by the builder
+        "left_contexts": _BASE_CTE + """
+, dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY cust || ' works for ' || supp || ' in ' || nat || '.') rn
+    FROM base)
+  WHERE rn = 1
+), ctxs AS (
+  SELECT 'C' || repeat('§', length(cust) - 10) || ' works for'
+           AS left_context, count(*) AS n_outside
+  FROM dedup GROUP BY 1
+  UNION ALL
+  SELECT 'S' || repeat('§', length(supp) - 10) || ' in', count(*)
+  FROM dedup GROUP BY 1
+  UNION ALL
+  SELECT 'Supplier S' || repeat('§', length(supp) - 10) || ' in', count(*)
+  FROM dedup GROUP BY 1
+)
+SELECT left_context, n_outside, CAST(0 AS BIGINT) AS n_inside
+FROM ctxs WHERE n_outside >= 2
+""",
+        # ±40-char mention contexts reconstructed analytically, 5-gram
+        # counts replayed in SQL (no distinct — the builder counts every
+        # gram occurrence)
+        "context_dictionary": _BASE_CTE + """
+, dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY cust || ' works for ' || supp || ' in ' || nat || '.') rn
+    FROM base)
+  WHERE rn = 1
+), m AS (
+  SELECT cust || ' works for ' || supp || ' in ' || nat || '.' AS text,
+         length(cust) lc, length(supp) ls, length(nat) ln
+  FROM dedup
+), ctx AS (
+  SELECT 'PER' AS category,
+         trim(substr(text, 1, 0)) || '__' || trim(substr(text, lc+1, 40)) AS c
+  FROM m
+  UNION ALL
+  SELECT 'ORG',
+         trim(substr(text, greatest(lc+11-40, 0)+1,
+                     lc+11 - greatest(lc+11-40, 0)))
+           || '__' || trim(substr(text, lc+11+ls+1, 40))
+  FROM m
+  UNION ALL
+  SELECT 'LOC',
+         trim(substr(text, greatest(lc+15+ls-40, 0)+1,
+                     lc+15+ls - greatest(lc+15+ls-40, 0)))
+           || '__' || trim(substr(text, lc+15+ls+ln+1, 40))
+  FROM m
+), g AS (
+  SELECT category,
+         unnest([substr(lower(c), CAST(i AS INT), 5)
+                 FOR i IN range(1, greatest(len(c) - 3, 1))]) AS term
+  FROM ctx
+)
+SELECT term, category, count(*) AS n FROM g GROUP BY 1, 2
 """,
         "word_skipgrams": _BASE_CTE + """
 , dedup AS (
