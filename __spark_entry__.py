@@ -667,6 +667,23 @@ def _q_left_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("left_context", "n_outside", "n_inside")
 
 
+def _q_real_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getSentences(onlyRealSentences=true) (Tokenizer.java:316-342) over
+    turns with one real sentence, one too-short terminal ('Go!') and one
+    unterminated fragment — only the real one survives, which the oracle
+    states analytically."""
+    from palladian_spark.operators.mentions import split_sentences_df
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey").cast("string")
+    text = F.concat(F.lit("Shipped order O"), k,
+                    F.lit(" to the depot on time. Go! trailing bit"))
+    transcripts = orders.select(
+        F.concat(F.lit("r"), k).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"), text.alias("text"))
+    return split_sentences_df(transcripts, only_real_sentences=True) \
+        .select("conv_id", "turn_idx", "sent_idx", "sent_start", "sentence")
+
+
 def _q_word_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word 1..3-grams + skip-grams (NGramWrapperIterator /
     SkipGramWrapperIterator, SURVEY.md §2.2) as lead() windows over the
@@ -723,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_skipgrams": _q_word_skipgrams,
         "context_dictionary": _q_context_dictionary,
         "left_contexts": _q_left_contexts,
+        "real_sentences": _q_real_sentences,
         "sessionize_events": _q_sessionize,
         "event_windows": _q_event_windows,
         "user_activity": _q_user_activity,
@@ -1223,6 +1241,14 @@ SELECT DISTINCT 'nation n' || CAST(s.s_nationkey AS VARCHAR) AS remove_value
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+""",
+        "real_sentences": """
+SELECT 'r' || CAST(o_orderkey AS VARCHAR) AS conv_id,
+       CAST(0 AS INT) AS turn_idx, CAST(0 AS INT) AS sent_idx,
+       CAST(0 AS INT) AS sent_start,
+       'Shipped order O' || CAST(o_orderkey AS VARCHAR)
+         || ' to the depot on time.' AS sentence
+FROM orders
 """,
         # digit masking collapses same-digit-length keys onto one boundary
         # context: 'C§§ works for' / 'S§ in' with per-length turn counts;

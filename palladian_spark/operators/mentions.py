@@ -292,11 +292,16 @@ def dictionary_tag_df(transcripts: DataFrame, entity_dict: DataFrame,
     return remove_nested_df(hits) if de_nest else hits
 
 
-def split_sentences_df(transcripts: DataFrame, mask_entities: bool = True) -> DataFrame:
+def split_sentences_df(transcripts: DataFrame, mask_entities: bool = True,
+                       only_real_sentences: bool = False) -> DataFrame:
     """Sentence segmentation per turn (PalladianSentenceDetector port):
-    URLs/dates/smileys are masked so their dots don't split sentences."""
+    URLs/dates/smileys are masked so their dots don't split sentences.
+    ``only_real_sentences`` applies the Tokenizer.java:316-342 filter
+    (terminal punctuation, quote-preserving trim, length > 8, > 2 words)
+    — sent_idx then numbers the SURVIVING sentences."""
 
     def run(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from palladian_spark.textproc.tokenize import palladian_trim
         for pdf in iterator:
             out = {k: [] for k in
                    ("conv_id", "turn_idx", "sent_idx", "sent_start", "sentence")}
@@ -307,12 +312,21 @@ def split_sentences_df(transcripts: DataFrame, mask_entities: bool = True) -> Da
                 masks = None
                 if mask_entities:
                     masks = tag_urls(text) + tag_dates(text) + tag_smileys(text)
-                for i, sent in enumerate(split_sentences(text, masks)):
+                i = 0
+                for sent in split_sentences(text, masks):
+                    if only_real_sentences:
+                        last = sent.value.split("\n")[-1]
+                        if not last.endswith((".", "?", "!", ".”", '."')):
+                            continue
+                        clean = palladian_trim(last, keep='“”"')
+                        if len(clean) <= 8 or clean.count(" ") + 1 <= 2:
+                            continue
                     out["conv_id"].append(conv_id)
                     out["turn_idx"].append(turn_idx)
                     out["sent_idx"].append(i)
                     out["sent_start"].append(sent.start)
                     out["sentence"].append(sent.value)
+                    i += 1
             yield pd.DataFrame(out)
 
     return (transcripts
