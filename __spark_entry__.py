@@ -301,6 +301,20 @@ def _q_classify_default(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "predicted", "prob")
 
 
+def _q_classify_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational BayesScorer(LAPLACE+PRIORS) classification
+    (BayesScorer.java:41-108): laplace-smoothed log-space scoring of every
+    doc term against every category, prior added, log-inversion
+    normalization — the Bayes twin of classify_default."""
+    from palladian_spark.classification.train_df import (
+        build_dictionary_df, category_priors_df, classify_bayes_df)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = build_dictionary_df(docs, "lang")
+    p = category_priors_df(docs, "lang")
+    return classify_bayes_df(docs, d, p, ["doc_id"], round_decimals=4) \
+        .select("doc_id", "predicted", "prob")
+
+
 def _q_entity_dict_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """buildEntityDictionary (PalladianNer.java:326-333): surface → type
     counts over the full NER chain's output."""
@@ -718,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_split": _q_sentence_split,
         "dict_model_train": _q_dict_train,
         "classify_default": _q_classify_default,
+        "classify_bayes": _q_classify_bayes,
         "entity_dict_train": _q_entity_dict_train,
         "case_dictionary": _q_case_dictionary,
         "mine_patterns": _q_mine_patterns,
@@ -1122,6 +1137,54 @@ WITH t AS (
   GROUP BY 1, 2
 ), p AS (
   SELECT doc_id, cat, sc / sum(sc) OVER (PARTITION BY doc_id) prob FROM s
+), r AS (
+  SELECT doc_id, cat, prob,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY prob DESC, cat ASC) rn
+  FROM p
+)
+SELECT doc_id, cat AS predicted, round(prob, 4) AS prob FROM r WHERE rn = 1
+""",
+        # BayesScorer(LAPLACE+PRIORS): same algebra as classify_bayes_df —
+        # per-doc term FREQUENCIES (not distinct), every (term, category)
+        # scored (laplace smooths non-matches), log-inversion normalization
+        "classify_bayes": """
+WITH tc AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS doc_count
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '),
+                                  w -> len(w) BETWEEN 3 AND 20)) AS term
+        FROM documents)
+  GROUP BY 1, 2
+), td AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(list_filter(string_split(text, ' '),
+                                          w -> len(w) BETWEEN 3 AND 20))) AS term
+  FROM documents
+), d AS (
+  SELECT term, lang AS cat, CAST(count(*) AS DOUBLE) c FROM td GROUP BY 1, 2
+), cs AS (
+  SELECT cat, sum(c) AS cat_sum FROM d GROUP BY 1
+), nu AS (
+  SELECT CAST(count(DISTINCT term) AS DOUBLE) AS u FROM d
+), pr AS (
+  SELECT lang AS cat, CAST(count(*) AS DOUBLE) AS nd FROM documents GROUP BY 1
+), tot AS (
+  SELECT sum(nd) AS t FROM pr
+), sc AS (
+  SELECT tc.doc_id, cs.cat,
+         sum(tc.doc_count
+             * ln((COALESCE(d.c, 0) + 1) / (cs.cat_sum + nu.u))) AS s
+  FROM tc CROSS JOIN cs CROSS JOIN nu
+  LEFT JOIN d ON d.term = tc.term AND d.cat = cs.cat
+  GROUP BY tc.doc_id, cs.cat
+), fin AS (
+  SELECT sc.doc_id, sc.cat, sc.s + ln(pr.nd / tot.t) AS score
+  FROM sc JOIN pr ON sc.cat = pr.cat CROSS JOIN tot
+), p AS (
+  SELECT doc_id, cat,
+         1 - score / sum(score) OVER (PARTITION BY doc_id) AS prob
+  FROM fin
 ), r AS (
   SELECT doc_id, cat, prob,
          row_number() OVER (PARTITION BY doc_id

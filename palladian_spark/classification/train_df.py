@@ -188,6 +188,97 @@ def category_priors_df(docs: DataFrame, category_col: str,
             .agg(F.sum(w).alias("num_documents")))
 
 
+def doc_term_counts_df(docs: DataFrame, text_col: str = "text",
+                       setting: FeatureSetting | None = None) -> DataFrame:
+    """(…keys, term, doc_count) — per-document term FREQUENCIES (the Bayes
+    scorer weights by in-document count, PalladianTextClassifier.java:
+    216-219).  The reference stops counting once maxTerms distinct terms
+    are seen; this relational form assumes the cap never binds (valid
+    whenever documents carry fewer distinct terms than maxTerms — the
+    default 800 vs typical double-digit vocabularies)."""
+    setting = setting or FeatureSetting.words(1)
+    keys = [c for c in docs.columns if c != text_col]
+    source = (F.col(text_col) if setting.case_sensitive
+              else F.lower(F.col(text_col)))
+    toks = F.regexp_extract_all(source, F.lit(f"(?is)({TOKEN_SPLIT_REGEX})"), 1)
+    kept = F.filter(toks, lambda t: (F.length(t) >= setting.min_term_length)
+                    & (F.length(t) <= setting.max_term_length))
+    return (docs
+            .select(*keys, F.explode(kept).alias("term"))
+            .groupBy(*keys, "term")
+            .agg(F.count("*").alias("doc_count")))
+
+
+def classify_bayes_df(docs: DataFrame, dictionary: DataFrame,
+                      priors: DataFrame, id_cols: list[str],
+                      text_col: str = "text",
+                      setting: FeatureSetting | None = None,
+                      round_decimals: int | None = 6) -> DataFrame:
+    """BayesScorer(LAPLACE + PRIORS) classification, fully relational
+    (BayesScorer.java:41-108 + PalladianTextClassifier.java:210-269):
+
+      per (doc term, category) — matched or not (laplace scores
+      non-matches): score = doc_count · ln((n(term,cat)+1) /
+                                           (Σ_cat counts + |vocab|))
+      per (doc, category): Σ + ln(prior); normalize with the
+      CategoryEntriesBuilder log-inversion (total < 0 ⇒ p = 1 − s/total);
+      argmax with category-ascending tie-break.
+
+    Docs with no terms fall back to the prior distribution's argmax.
+    """
+    setting = setting or FeatureSetting.words(1)
+    spark = docs.sparkSession
+
+    cat_sums = (dictionary.groupBy("category")
+                .agg(F.sum("count").alias("_cat_sum")))
+    num_uniq = dictionary.select("term").distinct().count()
+    prior_total = priors.agg(F.sum("num_documents")).collect()[0][0] or 1.0
+    cats = (priors
+            .join(cat_sums, "category", "left")
+            .select("category",
+                    F.coalesce("_cat_sum", F.lit(0.0)).alias("_cat_sum"),
+                    (F.col("num_documents") / F.lit(float(prior_total)))
+                    .alias("_prior")))
+    cats = F.broadcast(spark.createDataFrame(cats.collect(), cats.schema))
+
+    terms = doc_term_counts_df(docs.select(*id_cols, text_col), text_col,
+                               setting)
+    scored = (terms
+              .crossJoin(cats)
+              .join(F.broadcast(dictionary), ["term", "category"], "left")
+              .withColumn("_n", F.coalesce("count", F.lit(0.0)))
+              .withColumn("_s", F.col("doc_count")
+                          * F.log((F.col("_n") + 1)
+                                  / (F.col("_cat_sum") + num_uniq))))
+    sums = (scored.groupBy(*id_cols, "category", "_prior")
+            .agg(F.sum("_s").alias("_sum")))
+    final = sums.withColumn("_score", F.col("_sum") + F.log("_prior"))
+
+    wdoc = Window.partitionBy(*id_cols)
+    probs = (final
+             .withColumn("_total", F.sum("_score").over(wdoc))
+             # log-space scores: total < 0 → CategoryEntriesBuilder inverts
+             .withColumn("prob", F.lit(1.0) - F.col("_score") / F.col("_total")))
+    best = (probs
+            .withColumn("_rn", F.row_number().over(
+                wdoc.orderBy(F.desc("prob"), F.asc("category"))))
+            .where(F.col("_rn") == 1)
+            .select(*id_cols, F.col("category").alias("predicted"), "prob"))
+
+    prior_best = (cats.orderBy(F.desc("_prior"), F.asc("category"))
+                  .limit(1).collect())
+    fallback_cat = prior_best[0]["category"] if prior_best else ""
+    fallback_prob = float(prior_best[0]["_prior"]) if prior_best else 0.0
+    out = (docs.select(*id_cols)
+           .join(best, id_cols, "left")
+           .withColumn("predicted",
+                       F.coalesce("predicted", F.lit(fallback_cat)))
+           .withColumn("prob", F.coalesce("prob", F.lit(fallback_prob))))
+    if round_decimals is not None:
+        out = out.withColumn("prob", F.round("prob", round_decimals))
+    return out
+
+
 def classify_df(docs: DataFrame, dictionary: DataFrame, priors: DataFrame,
                 id_cols: list[str], text_col: str = "text",
                 setting: FeatureSetting | None = None,

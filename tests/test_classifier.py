@@ -168,3 +168,31 @@ def test_char_terms_rows_match_python(spark):
         want = {i: set(document_terms(t, setting))
                 for i, t in enumerate(texts) if document_terms(t, setting)}
         assert got == want, setting
+
+
+def test_classify_bayes_df_matches_python(spark):
+    """Relational BayesScorer(LAPLACE+PRIORS) ≡ the golden-tested Python
+    classify on the Manning corpus."""
+    from pyspark.sql import functions as F
+    from palladian_spark.classification.train_df import (
+        build_dictionary_df, category_priors_df, classify_bayes_df)
+
+    model = train_model()
+    scorer = BayesScorer(laplace=True, priors=True)
+    texts = [TEST_TEXT, "Chinese Macao", "Tokyo Japan Japan", "unseen words"]
+    expected = {}
+    for i, text in enumerate(texts):
+        probs = classify(text, model, scorer)
+        cat, p = most_likely(probs)
+        expected[i] = (cat, round(p, 6))
+
+    train = spark.createDataFrame(DOCS, "text string, label string") \
+        .select(F.col("label"), F.col("text"))
+    d = build_dictionary_df(train, "label")
+    pr = category_priors_df(train, "label")
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got = {r["doc_id"]: (r["predicted"], r["prob"])
+           for r in classify_bayes_df(docs, d, pr, ["doc_id"],
+                                      round_decimals=6).collect()}
+    assert got == expected
