@@ -1,0 +1,73 @@
+"""EntityPreprocessingTagger goldens (EntityPreprocessingTagger.java
+semantics with a hand-built case dictionary — the reference's CSV resource
+is not shipped, so expectations are hand-derived from the same rules)."""
+
+import pytest
+
+from palladian_spark.textproc.preprocess_tagger import EntityPreprocessingTagger
+
+# token → lowercase ratio (≥ 2 means "usually lowercase" at threshold 2)
+CASE_DICT = {
+    "the": 50.0, "new": 3.0, "senior": 4.0, "military": 5.0,
+    "official": 6.0, "visits": 7.0, "by": 9.0, "staff": 4.0,
+    "writer": 4.0, "tax": 3.0, "credits": 3.0, "available": 5.0,
+    "on": 9.0, "of": 9.0, "envoy": 3.0, "condemns": 3.0, "attack": 3.0,
+    "that": 9.0, "killed": 4.0, "one": 5.0, "policeman": 3.0,
+    "york": 0.1, "city": 1.0, "resort": 2.5, "at": 9.0,
+}
+
+
+def tagger(split=0):
+    return EntityPreprocessingTagger(CASE_DICT, 2.0, split)
+
+
+def test_short_phrase_issue_294():
+    # no in-sentence candidates at all → nothing is "fixed"
+    anns = tagger().get_annotations("New York City")
+    assert [a.value for a in anns] == ["New York City"]
+
+
+def test_sentence_start_sliding_cut():
+    # 'Senior' is usually lowercase → the sentence-start candidate loses
+    # its prefix; 'Smith' mid-sentence stays untouched
+    text = "Senior Smith spoke today. He met Smith again."
+    anns = tagger().get_annotations(text)
+    values = [a.value for a in anns]
+    assert "Senior Smith" not in values
+    assert "Smith" in values
+    first = [a for a in anns if a.value == "Smith"][0]
+    assert text[first.start:first.start + len("Smith")] == "Smith"
+
+
+def test_single_usually_lowercase_token_dropped():
+    text = "Available now in stores. It sells Nikon cameras."
+    anns = tagger().get_annotations(text)
+    assert all(a.value != "Available" for a in anns)
+    assert any(a.value == "Nikon" for a in anns)
+
+
+def test_long_annotation_split_runs_and_hyphens():
+    from palladian_spark.textproc.taggers import Annotation
+    t = tagger()
+    # runs of NOT-usually-lowercase tokens inside a long candidate
+    anns = [Annotation(0, "Rocky Hill Tax Credits Available", "CANDIDATE")]
+    split = t.get_long_annotation_split(anns, 3)
+    assert [a.value for a in split] == ["Rocky Hill"]
+    assert split[0].start == 0
+    # hyphen parts starting uppercase — matches the reference golden
+    # (EntityPreprocessingTaggerTest.java:85-89: TWO splits, 'New York
+    # City' second: the run split yields 'York City-based' because 'New'
+    # is usually lowercase, then the hyphen split yields the full name)
+    anns = [Annotation(10, "New York City-based", "CANDIDATE")]
+    split = t.get_long_annotation_split(anns, 3)
+    assert [a.value for a in split] == ["York City-based", "New York City"]
+    assert split[1].start == 10
+
+
+def test_correct_capitalization():
+    t = tagger()
+    assert t.correct_capitalization(
+        "Senior U.S. Military Official Visits Georgia.") == \
+        "senior U.S. Military official visits Georgia."
+    assert t.correct_capitalization("AT MAGAZAN BEACH RESORT") == \
+        "AT MAGAZAN BEACH RESORT"
