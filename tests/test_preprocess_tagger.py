@@ -65,9 +65,10 @@ def test_long_annotation_split_runs_and_hyphens():
 
 
 def test_correct_capitalization():
+    # same shapes as EntityPreprocessingTaggerTest.java:57-67
     t = tagger()
     assert t.correct_capitalization(
         "Senior U.S. Military Official Visits Georgia.") == \
-        "senior U.S. Military official visits Georgia."
+        "senior U.S. military official visits Georgia."
     assert t.correct_capitalization("AT MAGAZAN BEACH RESORT") == \
-        "AT MAGAZAN BEACH RESORT"
+        "at MAGAZAN BEACH resort"
