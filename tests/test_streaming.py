@@ -134,3 +134,45 @@ def test_lineage_idempotent_under_replay(spark, workdir):
     assert {r["batch_id"] for r in lineage_after} == \
         {r["batch_id"] for r in lineage_before}
     assert spark.read.parquet(f"{out_dir}/triples").count() == triples_before
+
+
+def test_stateful_conversation_stats_across_restarts(spark, workdir):
+    """applyInPandasWithState: custom per-conversation state survives
+    micro-batches AND a query restart (checkpointed state store)."""
+    from palladian_spark.streaming.incremental import stream_transcripts
+    from palladian_spark.streaming.stateful import conversation_running_stats
+
+    in_dir = str(workdir / "in")
+    ckpt = str(workdir / "ckpt")
+
+    def run_drain(_table):
+        rows = []
+
+        def sink(df, _bid):
+            rows.extend(df.collect())
+
+        stream = stream_transcripts(spark, in_dir)
+        q = (conversation_running_stats(stream)
+             .writeStream.foreachBatch(sink)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        # last emitted row per conversation wins (update mode)
+        out = {}
+        for r in rows:
+            out[r["conv_id"]] = (r["n_turns"], r["n_chars"])
+        return out
+
+    _write_batch(spark, in_dir, "s1", 3)
+    first = run_drain("stateful_run1")
+    assert first and all(n > 0 for n, _ in first.values())
+
+    # second input file; a FRESH query on the same checkpoint must resume
+    # the state store: counts accumulate across restarts per conversation
+    _write_batch(spark, in_dir, "s1", 3)  # same conv ids again
+    second = run_drain("stateful_run2")
+    assert set(second) == set(first)
+    for conv, (n1, c1) in first.items():
+        n2, c2 = second[conv]
+        assert n2 == 2 * n1 and c2 == 2 * c1, conv
