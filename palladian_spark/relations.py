@@ -270,6 +270,45 @@ def fuzzy_enabled(metric: Optional[str]) -> bool:
     return metric is not None and metric != "none"
 
 
+def induce_patterns(mined: DataFrame, min_count: int = 2,
+                    max_patterns: int = 20) -> List[PredicatePattern]:
+    """Pattern induction: mined frequent inter-mention windows →
+    PredicatePatterns ready for extract_triples — the learning loop the
+    reference's PatternAnalyzer feeds manually.
+
+    Each kept (subj_type, obj_type, window) row becomes a typed pattern:
+    the window words escaped into a whitespace-flexible fullmatch regex
+    (so ``works for`` also matches ``works  for`` with an optional comma
+    lead-in, mirroring the seed patterns' shape) and a predicate name
+    slugged from the window words.  Deterministic: rows ordered by
+    (count desc, subj_type, obj_type, window), capped at
+    ``max_patterns``.  The collect is MODEL-sized (≤ max_patterns rows).
+    """
+    import re as _re
+    rows = (mined
+            .where(F.col("count") >= min_count)
+            .orderBy(F.desc("count"), "subj_type", "obj_type", "window")
+            .limit(max_patterns)
+            .collect())
+    out: List[PredicatePattern] = []
+    seen = set()
+    for r in rows:
+        words = r["window"].split()
+        if not words:
+            continue
+        pred = _re.sub(r"\W+", "_", " ".join(words)).strip("_") or "related_to"
+        key = (pred, r["subj_type"], r["obj_type"])
+        if key in seen:
+            continue
+        seen.add(key)
+        # mined windows are lowercased — match the raw window text
+        # case-insensitively
+        rx = (r"(?i)\s*,?\s*" + r"\s+".join(regex.escape(w) for w in words)
+              + r"\s*")
+        out.append(pattern(pred, rx, {r["subj_type"]}, {r["obj_type"]}))
+    return out
+
+
 def cooccurrence_pairs(mentions: DataFrame, sentences: DataFrame) -> DataFrame:
     """Same-sentence mention pair counts (CoOccurrenceRetriever.java:27-60):
     the (subj, obj) candidate generator as a relational self-join keyed by

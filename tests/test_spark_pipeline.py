@@ -161,3 +161,28 @@ def test_mention_evaluation_scores(spark):
     assert scores["exact_recall"] == pytest.approx(1 / 3)
     # MUC gives half credit for ERROR3: (1 + 2*1) / (2*3)
     assert scores["muc_precision"] == pytest.approx(0.5)
+
+
+def test_pattern_induction_loop(spark):
+    """Mined windows → induced PredicatePatterns → extract_triples finds
+    the relations WITHOUT any seed patterns (the learning loop)."""
+    from palladian_spark.pipeline import default_model
+    from palladian_spark.relations import (
+        extract_triples, induce_patterns, mine_patterns_df)
+    from palladian_spark.data.transcripts import synthetic_transcripts_pdf
+
+    tp, _gold = synthetic_transcripts_pdf(n_convs=6, turns_per_conv=4)
+    t = spark.createDataFrame(tp)
+    model = default_model()
+
+    mined = mine_patterns_df(t, model, min_count=2)
+    induced = induce_patterns(mined, min_count=2, max_patterns=10)
+    assert induced, "no patterns induced"
+    preds = {p.pred for p in induced}
+    assert any("works" in p for p in preds) or any("in" == p for p in preds)
+
+    triples = extract_triples(t, model, patterns=induced)
+    rows = triples.collect()
+    assert rows, "induced patterns extracted no triples"
+    # every triple's predicate comes from the induced set
+    assert {r["pred"] for r in rows} <= preds
