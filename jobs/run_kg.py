@@ -38,6 +38,10 @@ def main(argv=None) -> int:
                    help="salted repartition width for the NER stage")
     p.add_argument("--entity-dict", default=None,
                    help="optional parquet with (entity_id, surface, concept)")
+    p.add_argument("--min-link-sim", type=float, default=None,
+                   help="drop mapping entries below this link similarity")
+    p.add_argument("--drop-unlinked", action="store_true",
+                   help="drop triples whose subj/obj resolved to no entity")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -58,7 +62,9 @@ def main(argv=None) -> int:
                           entity_dict=entity_dict,
                           output_dir=args.output,
                           n_buckets=args.buckets,
-                          partitions=args.partitions)
+                          partitions=args.partitions,
+                          min_link_sim=args.min_link_sim,
+                          drop_unlinked=args.drop_unlinked)
     n = result.triples.count()
     print(json.dumps({"triples": n,
                       "buckets_computed": result.buckets_computed,

@@ -64,7 +64,9 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
                  patterns: Sequence = tuple(DEFAULT_PATTERNS),
                  output_dir: Optional[str] = None,
                  n_buckets: int = 16,
-                 partitions: Optional[int] = None) -> PipelineResult:
+                 partitions: Optional[int] = None,
+                 min_link_sim: Optional[float] = None,
+                 drop_unlinked: bool = False) -> PipelineResult:
     """Run the full pipeline.  With ``output_dir`` set, runs bucket-wise with
     lineage and resumes from completed buckets; without it, runs in one shot
     and returns the triples DataFrame lazily."""
@@ -80,7 +82,9 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
         staged = repartition_salted(df, partitions) if partitions else df
         raw = extract_triples(staged, model, patterns)
         return canonicalize_triples(raw, entity_dict,
-                                    cache_handles=cache_handles)
+                                    cache_handles=cache_handles,
+                                    min_link_sim=min_link_sim,
+                                    drop_unlinked=drop_unlinked)
 
     if output_dir is None:
         return PipelineResult(compute(transcripts), None, 0, time.time() - t0)
