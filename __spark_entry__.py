@@ -681,6 +681,15 @@ def _q_left_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("left_context", "n_outside", "n_inside")
 
 
+def _q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation profile over the full input_hint schema
+    (role/ts/text): one hash agg on conv_id."""
+    from palladian_spark.operators.events import conversation_stats
+    return conversation_stats(_tpch_transcripts(spark, sf_dir)) \
+        .select("conv_id", "n_turns", "n_user", "n_assistant",
+                "first_ts", "last_ts", "avg_chars")
+
+
 def _q_real_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """getSentences(onlyRealSentences=true) (Tokenizer.java:316-342) over
     turns with one real sentence, one too-short terminal ('Go!') and one
@@ -756,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_dictionary": _q_context_dictionary,
         "left_contexts": _q_left_contexts,
         "real_sentences": _q_real_sentences,
+        "conversation_stats": _q_conversation_stats,
         "sessionize_events": _q_sessionize,
         "event_windows": _q_event_windows,
         "user_activity": _q_user_activity,
@@ -1304,6 +1314,18 @@ SELECT DISTINCT 'nation n' || CAST(s.s_nationkey AS VARCHAR) AS remove_value
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+""",
+        "conversation_stats": _BASE_CTE.replace(
+            "SELECT 'conv-'",
+            """SELECT l.l_linenumber AS ln, l.l_shipdate AS ts,
+         'conv-'""") + """
+SELECT conv_id, count(*) AS n_turns,
+       sum(CASE WHEN ln % 2 <> 0 THEN 1 ELSE 0 END) AS n_user,
+       sum(CASE WHEN ln % 2 = 0 THEN 1 ELSE 0 END) AS n_assistant,
+       min(ts) AS first_ts, max(ts) AS last_ts,
+       round(avg(length(cust) + length(supp) + length(nat) + 16), 4)
+         AS avg_chars
+FROM base GROUP BY 1
 """,
         "real_sentences": """
 SELECT 'r' || CAST(o_orderkey AS VARCHAR) AS conv_id,

@@ -78,6 +78,23 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                     "event_type", "n_events", "total_value"))
 
 
+def conversation_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation profile over the full transcript schema
+    (conv_id, turn_idx, role, text, tool, ts — BASELINE input_hint):
+    turn/role counts, time span, average turn length.  One map-side-
+    combinable hash agg on conv_id — AQE skew handling covers hot
+    conversations."""
+    return (transcripts.groupBy("conv_id")
+            .agg(F.count("*").alias("n_turns"),
+                 F.sum((F.col("role") == "user").cast("long"))
+                 .alias("n_user"),
+                 F.sum((F.col("role") == "assistant").cast("long"))
+                 .alias("n_assistant"),
+                 F.min("ts").alias("first_ts"),
+                 F.max("ts").alias("last_ts"),
+                 F.round(F.avg(F.length("text")), 4).alias("avg_chars")))
+
+
 def user_activity(events: DataFrame) -> DataFrame:
     """Per-user profile: one hash agg, map-side combinable."""
     return (events.groupBy("user_id")
