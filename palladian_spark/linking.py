@@ -168,7 +168,9 @@ def fuzzy_link_df(values: DataFrame, entity_dict: DataFrame,
             if index is None:
                 index = _BlockedDict(entries, metric)
                 if len(_INDEX_CACHE) > 8:
-                    _INDEX_CACHE.clear()
+                    # evict ONE oldest entry — clearing everything would
+                    # force still-running plans to rebuild per task
+                    _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
                 _INDEX_CACHE[plan_id] = index
         for pdf in iterator:
             out = {k: [] for k in

@@ -194,13 +194,16 @@ def embedding_neardup_pairs(embeddings: DataFrame, id_col: str = "vec_id",
     """
     from palladian_spark.operators.similarity_search import (
         block_matmul_pairs, lsh_bucketed_pairs)
+    n = None
     if method == "auto":
-        method = ("exact" if embeddings.count() <= max_exact_rows else "lsh")
+        n = embeddings.count()
+        method = "exact" if n <= max_exact_rows else "lsh"
     if method == "exact":
+        # pass the already-known count so the guard doesn't re-scan
         return block_matmul_pairs(embeddings, id_col=id_col, vec_col=vec_col,
                                   threshold=threshold,
                                   round_decimals=round_decimals,
-                                  max_rows=max_exact_rows)
+                                  max_rows=max_exact_rows, n_rows=n)
     return lsh_bucketed_pairs(embeddings, id_col=id_col, vec_col=vec_col,
                               threshold=threshold,
                               round_decimals=round_decimals)

@@ -31,7 +31,8 @@ def session_islands(events: DataFrame, timeout_minutes: int = 30,
     (ordering among exact ts ties is then partition-layout dependent, which
     only matters if a session boundary falls exactly between tied rows).
     """
-    if tiebreak_col is None or tiebreak_col not in events.columns:
+    synthetic_tb = tiebreak_col is None or tiebreak_col not in events.columns
+    if synthetic_tb:
         events = events.withColumn("_tb", F.monotonically_increasing_id())
         tiebreak_col = "_tb"
     w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
@@ -41,11 +42,13 @@ def session_islands(events: DataFrame, timeout_minutes: int = 30,
     gap = us - F.lag(us).over(w)
     new_session = (gap.isNull()
                    | (gap > timeout_minutes * 60 * 1_000_000)).cast("int")
-    return (events
-            .withColumn("_new", new_session)
-            .withColumn("session_id", F.sum("_new").over(
-                w.rowsBetween(Window.unboundedPreceding, 0)))
-            .drop("_new", "_tb"))
+    out = (events
+           .withColumn("_new", new_session)
+           .withColumn("session_id", F.sum("_new").over(
+               w.rowsBetween(Window.unboundedPreceding, 0)))
+           .drop("_new"))
+    # only drop _tb if WE added it — a user column of that name survives
+    return out.drop("_tb") if synthetic_tb else out
 
 
 def sessionize(events: DataFrame, timeout_minutes: int = 30,

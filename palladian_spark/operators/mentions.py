@@ -87,16 +87,18 @@ def ensure_map_parallelism(df: DataFrame,
     there would move the whole corpus for nothing — so we only add the
     exchange when the plan genuinely under-parallelizes.
 
-    The guard is METADATA-ONLY: ``df.inputFiles()`` (a catalog/file-index
-    lookup, no job).  Round 1 inspected ``df.rdd.getNumPartitions()``,
-    which under AQE eagerly materializes upstream shuffle stages at
-    plan-build time — fine locally, but on a busy cluster it launches
-    jobs before the query even runs.  A file-backed plan with ≥ target
-    files keeps its scan parallelism (maxPartitionBytes can only split
-    further); anything else (few/large files, in-memory relations,
-    post-shuffle plans on tiny inputs) gets the salted exchange — the
-    shuffled payload is turn text, cheap next to the Python stage it
-    feeds.
+    The guard is DRIVER-ONLY (no job): ``df.inputFiles()`` (a catalog/
+    file-index lookup) plus a scan of the optimized logical plan for
+    shuffle-introducing operators.  Round 1 inspected
+    ``df.rdd.getNumPartitions()``, which under AQE eagerly materializes
+    upstream shuffle stages at plan-build time — fine locally, but on a
+    busy cluster it launches jobs before the query even runs.  The
+    repartition is skipped ONLY for a plain wide file scan (≥ target
+    files, no upstream join/agg/window — maxPartitionBytes can only split
+    a scan further); any plan whose output partitioning AQE may have
+    coalesced (post-shuffle), and any few-file or in-memory input, gets
+    the salted exchange — the shuffled payload is turn text, cheap next
+    to the Python stage it feeds.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism * 2
@@ -104,9 +106,30 @@ def ensure_map_parallelism(df: DataFrame,
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if n_files >= target:
+    if n_files >= target and not _plan_may_shuffle(df):
         return df
     return repartition_salted(df, target, salt_cols)
+
+
+_SHUFFLE_NODE_RE = None
+
+
+def _plan_may_shuffle(df: DataFrame) -> bool:
+    """True if the optimized logical plan contains an operator whose
+    physical form introduces an exchange (which AQE may then coalesce to
+    few partitions).  Conservative: unknown → True."""
+    global _SHUFFLE_NODE_RE
+    import re as _re
+    if _SHUFFLE_NODE_RE is None:
+        _SHUFFLE_NODE_RE = _re.compile(
+            r"^\s*[+:-]*\s*'?(Join|Aggregate|Window|Sort|Repartition|"
+            r"Distinct|Deduplicate|Intersect|Except|GlobalLimit)\b",
+            _re.MULTILINE)
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return True
+    return bool(_SHUFFLE_NODE_RE.search(plan))
 
 
 def _batch_tagger(tagger_fn):
@@ -314,18 +337,27 @@ def split_sentences_df(transcripts: DataFrame, mask_entities: bool = True,
                     masks = tag_urls(text) + tag_dates(text) + tag_smileys(text)
                 i = 0
                 for sent in split_sentences(text, masks):
+                    value, start = sent.value, sent.start
                     if only_real_sentences:
-                        last = sent.value.split("\n")[-1]
+                        # the reference keeps the TRIMMED LAST LINE
+                        # (Tokenizer.java:327-336 'parts[parts.length-1]'
+                        # + 'sentence.trim()'); offsets re-anchored so the
+                        # value==slice invariant still holds
+                        last = value.split("\n")[-1]
                         if not last.endswith((".", "?", "!", ".”", '."')):
                             continue
                         clean = palladian_trim(last, keep='“”"')
                         if len(clean) <= 8 or clean.count(" ") + 1 <= 2:
                             continue
+                        base = start + (len(value) - len(last))
+                        lead = len(last) - len(last.lstrip())
+                        value = last.strip()
+                        start = base + lead
                     out["conv_id"].append(conv_id)
                     out["turn_idx"].append(turn_idx)
                     out["sent_idx"].append(i)
-                    out["sent_start"].append(sent.start)
-                    out["sentence"].append(sent.value)
+                    out["sent_start"].append(start)
+                    out["sentence"].append(value)
                     i += 1
             yield pd.DataFrame(out)
 

@@ -80,18 +80,24 @@ def _unit(mat: np.ndarray) -> np.ndarray:
 
 def _pack_blocks(df: DataFrame, id_col: str, vec_col: str,
                  n_blocks: int) -> DataFrame:
-    """Pack vectors into n_blocks rows of (block, sorted [{id, vec}])."""
+    """Pack vectors into n_blocks rows of (block, sorted [{id, vec}]).
+
+    Block assignment hashes the id first — pmod on RAW ids lets strided
+    or common-factor id spaces (sharded/snowflake ids) collapse into a
+    few giant packs, breaking the O(block²) per-task memory bound.
+    """
     entry = F.struct(F.col(id_col).cast("long").alias("id"),
                      F.col(vec_col).cast("array<double>").alias("vec"))
     return (df
-            .select(F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int")
-                    .alias("block"), entry.alias("e"))
+            .select(F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+                    .cast("int").alias("block"), entry.alias("e"))
             .groupBy("block")
             .agg(F.sort_array(F.collect_list("e")).alias("pack")))
 
 
-def _count_guard(embeddings: DataFrame, max_rows: int, op: str) -> int:
-    n = embeddings.count()
+def _count_guard(embeddings: DataFrame, max_rows: int, op: str,
+                 n_rows: int | None = None) -> int:
+    n = embeddings.count() if n_rows is None else n_rows
     if max_rows is not None and n > max_rows:
         raise ValueError(
             f"{op}: {n} vectors exceeds max_rows={max_rows}. Exact all-pairs "
@@ -162,13 +168,15 @@ def block_matmul_top_k(embeddings: DataFrame, k: int = 1,
                        round_decimals: int = 4,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        block_rows: int = 4096, chunk_rows: int = 1024,
-                       max_rows: int = 4_000_000) -> DataFrame:
+                       max_rows: int = 4_000_000,
+                       n_rows: int | None = None) -> DataFrame:
     """Exact cosine top-k per vector (self excluded), fully distributed.
 
     Block-partitioned matmul: pack → crossJoin(B×B block pairs) → chunked
     matmul per pair → window reduce.  No vector ever touches the driver.
+    ``n_rows`` lets callers that already counted skip the count job.
     """
-    n = _count_guard(embeddings, max_rows, "block_matmul_top_k")
+    n = _count_guard(embeddings, max_rows, "block_matmul_top_k", n_rows)
     n_blocks = max(1, math.ceil(n / block_rows))
     packed = _pack_blocks(embeddings, id_col, vec_col, n_blocks)
     a = packed.select(F.col("block").alias("a_block"),
@@ -195,14 +203,15 @@ def block_matmul_pairs(embeddings: DataFrame, threshold: float = 0.95,
                        round_decimals: int = 4,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        block_rows: int = 4096, chunk_rows: int = 1024,
-                       max_rows: int = 4_000_000) -> DataFrame:
+                       max_rows: int = 4_000_000,
+                       n_rows: int | None = None) -> DataFrame:
     """All (a_id < b_id) pairs with cosine ≥ threshold, fully distributed.
 
     Same block shape as block_matmul_top_k but the crossJoin is restricted
     to a_block ≤ b_block (each unordered block pair scored once) and the
     kernel emits canonically-ordered thresholded pairs — no reduce needed.
     """
-    n = _count_guard(embeddings, max_rows, "block_matmul_pairs")
+    n = _count_guard(embeddings, max_rows, "block_matmul_pairs", n_rows)
     n_blocks = max(1, math.ceil(n / block_rows))
     packed = _pack_blocks(embeddings, id_col, vec_col, n_blocks)
     a = packed.select(F.col("block").alias("a_block"),

@@ -60,7 +60,8 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
 def language_id_clf(docs: DataFrame, train_docs: DataFrame | None = None,
                     id_col: str = "doc_id", text_col: str = "text",
                     lang_col: str = "lang", ngram_n: int = 4,
-                    round_decimals: int = 4) -> DataFrame:
+                    round_decimals: int = 4,
+                    min_count: int = 1) -> DataFrame:
     """Dictionary-classifier language ID — the faithful reference upgrade
     over the marker heuristic (Palladian routes language detection through
     its text classifier with char-profile features; same DefaultScorer
@@ -101,12 +102,15 @@ def language_id_clf(docs: DataFrame, train_docs: DataFrame | None = None,
                              max_terms=1_000_000)
     spark = docs.sparkSession
     d = build_dictionary_df(train.select(F.col(lang_col), F.col(text_col)),
-                            lang_col, text_col, setting)
+                            lang_col, text_col, setting,
+                            min_count=min_count)
     p = category_priors_df(train, lang_col)
-    # materialize the MODEL once: the dictionary is broadcast-small by
-    # design (min_count is the size lever), and classify_df's plan
-    # references it from several actions — without this every action
-    # re-runs the training aggregation over the corpus
+    # materialize the MODEL once: classify_df's plan references it from
+    # several actions — without this every action re-runs the training
+    # aggregation over the corpus.  The collect is model-sized only when
+    # the vocabulary is bounded: on a large multilingual corpus raise
+    # ``min_count`` (the size lever build_dictionary_df already supports)
+    # so rare grams never reach the driver.
     d = spark.createDataFrame(d.collect(), d.schema)
     p = spark.createDataFrame(p.collect(), p.schema)
     return (classify_df(docs.select(id_col, text_col), d, p, [id_col],

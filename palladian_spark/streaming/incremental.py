@@ -81,7 +81,10 @@ def run_incremental_pipeline(spark: SparkSession, input_dir: str,
             "batch_id long, stage string, row_count long, finished_at double")
         # lineage gets the same per-batch overwrite as the triples: a
         # replayed batch_id (crash between parquet write and checkpoint
-        # commit) must replace its audit row, not double-count it
+        # commit) must replace its audit row, not double-count it.
+        # LAYOUT NOTE: round 1 wrote flat appended files here; an
+        # output_dir from that era must be migrated (or started fresh)
+        # before resuming — parquet refuses mixed flat/partitioned dirs
         lineage.write.mode("overwrite").parquet(
             f"{lineage_dir}/batch={int(batch_id)}")
         triples.unpersist()

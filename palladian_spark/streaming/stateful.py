@@ -72,10 +72,14 @@ def conversation_running_stats(transcripts_stream: DataFrame,
                 continue
             n += len(pdf)
             c += int(pdf["text"].fillna("").str.len().sum())
-            us = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000)
-            lo, hi = int(us.min()), int(us.max())
-            first = lo if first is None else min(first, lo)
-            last = hi if last is None else max(last, hi)
+            # null ts must not poison the span: NaT casts to the int64
+            # sentinel (-2^63) and would become a permanent fake minimum
+            ts = pd.to_datetime(pdf["ts"]).dropna()
+            if len(ts):
+                us = ts.astype("int64") // 1000
+                lo, hi = int(us.min()), int(us.max())
+                first = lo if first is None else min(first, lo)
+                last = hi if last is None else max(last, hi)
         state.update((n, c, first, last))
         if timeout_minutes:
             state.setTimeoutDuration(timeout_minutes * 60 * 1000)

@@ -147,3 +147,33 @@ def test_word_ngrams_df_matches_python(spark):
                  if len(p := g.split(" ")) > 2]
         want = sorted(grams + skips)
         assert sorted(got[(conv, turn)]) == want, (conv, turn)
+
+
+def test_split_sentences_df_only_real_last_line(spark):
+    """Review fix: the only-real filter must emit the TRIMMED LAST LINE
+    (Tokenizer.java:327-336), offset-anchored into the original text."""
+    from palladian_spark.operators.mentions import split_sentences_df
+    text = "Header line\nThis is a perfectly real sentence here."
+    t = spark.createDataFrame([("c0", 0, text)],
+                              "conv_id string, turn_idx int, text string")
+    rows = split_sentences_df(t, only_real_sentences=True).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["sentence"] == "This is a perfectly real sentence here."
+    assert text[r["sent_start"]:r["sent_start"] + len(r["sentence"])] == \
+        r["sentence"]
+
+
+def test_session_islands_preserves_user_tb_column(spark):
+    """Review fix: a pre-existing user column named _tb must survive when
+    the synthetic tiebreak was never added."""
+    from palladian_spark.operators.events import session_islands
+    rows = [("u1", "2024-01-01 10:00:00", 1, "keepme"),
+            ("u1", "2024-01-01 10:05:00", 2, "keepme2")]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts string, event_id int, _tb string") \
+        .withColumn("ts", __import__("pyspark.sql.functions",
+                                     fromlist=["f"]).to_timestamp("ts"))
+    out = session_islands(df)
+    assert "_tb" in out.columns
+    assert {r["_tb"] for r in out.collect()} == {"keepme", "keepme2"}
