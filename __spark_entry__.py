@@ -681,6 +681,60 @@ def _q_left_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("left_context", "n_outside", "n_inside")
 
 
+def _q_evaluation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUC/exact evaluation taxonomy (NamedEntityRecognizer.java:98-184)
+    end-to-end: the pipeline's mentions scored against an analytic gold
+    with PLANTED disagreements — customer span correct (CORRECT),
+    supplier span typed LOC (ERROR3), a 'works' verb span no prediction
+    overlaps (ERROR2), nation predictions with no gold (ERROR1).  The
+    oracle states each counter as the deduped turn count."""
+    from palladian_spark.evaluation import evaluation_counts_df
+    from palladian_spark.operators.mentions import extract_mentions
+    from pyspark.sql import Window
+    t = _dedup_turns(_tpch_transcripts(spark, sf_dir))
+    pred = extract_mentions(t, _tpch_model(spark, sf_dir))
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    base = (lineitem
+            .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(supplier),
+                  lineitem.l_suppkey == supplier.s_suppkey))
+    cust = F.concat(F.lit("Customer C"), F.col("o_custkey").cast("string"))
+    supp = F.concat(F.lit("Supplier S"), F.col("s_suppkey").cast("string"))
+    nat = F.concat(F.lit("Nation N"), F.col("s_nationkey").cast("string"))
+    text = F.concat(cust, F.lit(" works for "), supp, F.lit(" in "), nat,
+                    F.lit("."))
+    rows = base.select(
+        F.concat(F.lit("conv-"), F.col("l_orderkey").cast("string"))
+        .alias("conv_id"),
+        F.col("l_linenumber").cast("int").alias("turn_idx"),
+        text.alias("text"), cust.alias("cust"), supp.alias("supp"))
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("text")
+    dedup = (rows.withColumn("_rn", F.row_number().over(w))
+             .where(F.col("_rn") == 1).drop("_rn"))
+    lc = F.length("cust")
+    gold = (dedup.select(
+        "conv_id", "turn_idx",
+        F.lit(0).cast("int").alias("start"),
+        lc.cast("int").alias("end"),
+        F.col("cust").alias("value"), F.lit("PER").alias("tag"))
+        .unionByName(dedup.select(
+            "conv_id", "turn_idx",
+            (lc + 11).cast("int").alias("start"),
+            (lc + 11 + F.length("supp")).cast("int").alias("end"),
+            F.col("supp").alias("value"), F.lit("LOC").alias("tag")))
+        .unionByName(dedup.select(
+            "conv_id", "turn_idx",
+            (lc + 1).cast("int").alias("start"),
+            (lc + 6).cast("int").alias("end"),
+            F.lit("works").alias("value"), F.lit("VERB").alias("tag"))))
+    return evaluation_counts_df(
+        pred.select("conv_id", "turn_idx", "start", "end", "value", "tag"),
+        gold).select("category", "n")
+
+
 def _q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation profile over the full input_hint schema
     (role/ts/text): one hash agg on conv_id."""
@@ -766,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "left_contexts": _q_left_contexts,
         "real_sentences": _q_real_sentences,
         "conversation_stats": _q_conversation_stats,
+        "evaluation_counts": _q_evaluation_counts,
         "sessionize_events": _q_sessionize,
         "event_windows": _q_event_windows,
         "user_activity": _q_user_activity,
@@ -1314,6 +1369,22 @@ SELECT DISTINCT 'nation n' || CAST(s.s_nationkey AS VARCHAR) AS remove_value
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+""",
+        "evaluation_counts": _BASE_CTE + """
+, dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY cust || ' works for ' || supp || ' in ' || nat || '.') rn
+    FROM base)
+  WHERE rn = 1
+), n AS (SELECT CAST(count(*) AS BIGINT) c FROM dedup)
+SELECT 'CORRECT' AS category, c AS n FROM n
+UNION ALL SELECT 'ERROR1', c FROM n
+UNION ALL SELECT 'ERROR2', c FROM n
+UNION ALL SELECT 'ERROR3', c FROM n
+UNION ALL SELECT 'ERROR4', CAST(0 AS BIGINT) FROM n
+UNION ALL SELECT 'ERROR5', CAST(0 AS BIGINT) FROM n
 """,
         "conversation_stats": _BASE_CTE.replace(
             "SELECT 'conv-'",

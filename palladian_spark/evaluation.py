@@ -106,10 +106,22 @@ def muc_scores(counters: Dict[str, int]) -> Dict[str, float]:
             "muc_f1": f1(muc_p, muc_r)}
 
 
+def evaluation_counts_df(predicted: DataFrame, gold: DataFrame) -> DataFrame:
+    """Corpus-level (category, n) ERROR1-5/CORRECT counters as a
+    DataFrame — the oracle-checkable face of the MUC taxonomy."""
+    counters = _evaluation_counters(predicted, gold)
+    rows = [(k, int(counters[k])) for k in sorted(counters)]
+    return predicted.sparkSession.createDataFrame(rows, "category string, n long")
+
+
 def evaluate_mentions_df(predicted: DataFrame, gold: DataFrame) -> Dict[str, float]:
     """Distributed evaluation: join per (conv_id, turn_idx), apply the
     taxonomy per turn in applyInPandas, aggregate counters globally.
     Both inputs: (conv_id, turn_idx, start, end, value, tag)."""
+    return muc_scores(_evaluation_counters(predicted, gold))
+
+
+def _evaluation_counters(predicted: DataFrame, gold: DataFrame) -> Dict[str, int]:
     pred_g = (predicted.groupBy("conv_id", "turn_idx")
               .agg(F.collect_list(F.struct("start", "end", "tag")).alias("pred")))
     gold_g = (gold.groupBy("conv_id", "turn_idx")
@@ -135,6 +147,5 @@ def evaluate_mentions_df(predicted: DataFrame, gold: DataFrame) -> Dict[str, flo
     agg = partials.agg(*[F.sum(c).alias(c) for c in
                          ("CORRECT", "ERROR1", "ERROR2", "ERROR3", "ERROR4",
                           "ERROR5")]).collect()[0]
-    counters = {k: int(agg[k] or 0) for k in
-                ("CORRECT", "ERROR1", "ERROR2", "ERROR3", "ERROR4", "ERROR5")}
-    return muc_scores(counters)
+    return {k: int(agg[k] or 0) for k in
+            ("CORRECT", "ERROR1", "ERROR2", "ERROR3", "ERROR4", "ERROR5")}
