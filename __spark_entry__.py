@@ -443,6 +443,19 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width", "height", "n_frames")
 
 
+def _q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (every-Nth frame per video payload): the
+    explode shape a real sampler produces, over the deterministic fake
+    decode — the oracle recomputes the fake frame count from the payload
+    sha and replays the stride arithmetic."""
+    from palladian_spark.operators.multimodal import (
+        sample_frames_stub, synthesize_media)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = synthesize_media(docs)
+    return sample_frames_stub(media, every_n=10).select(
+        "media_id", F.col("frame_idx").cast("int").alias("frame_idx"))
+
+
 def _q_ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-1 neighbor via multi-table random-hyperplane LSH —
     the ≥10⁷-vector scale path.  n_planes=None derives the bucket count
@@ -821,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "real_sentences": _q_real_sentences,
         "conversation_stats": _q_conversation_stats,
         "evaluation_counts": _q_evaluation_counts,
+        "frame_samples": _q_frame_samples,
         "sessionize_events": _q_sessionize,
         "event_windows": _q_event_windows,
         "user_activity": _q_user_activity,
@@ -1369,6 +1383,19 @@ SELECT DISTINCT 'nation n' || CAST(s.s_nationkey AS VARCHAR) AS remove_value
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+""",
+        # fake decode's frame count recomputed from the payload sha
+        # (byte 2 of sha256 over the utf8 text), stride-10 sampling
+        "frame_samples": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         1 + CAST('0x' || substr(sha256(text), 5, 2) AS INT) % 64 AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id,
+       CAST(unnest(range(0, CAST(n_frames AS BIGINT), 10)) AS INT)
+         AS frame_idx
+FROM m
 """,
         "evaluation_counts": _BASE_CTE + """
 , dedup AS (
