@@ -443,6 +443,18 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width", "height", "n_frames")
 
 
+def _q_cooccurrence_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCUMENT-scope co-occurrence (CoOccurrenceRetriever's DOCUMENT
+    context, document = conversation): distinct conversation-level entity
+    vocabulary self-joined per conversation."""
+    from palladian_spark.operators.mentions import extract_mentions
+    from palladian_spark.relations import cooccurrence_document_pairs
+    t = _tpch_transcripts(spark, sf_dir)
+    mentions = extract_mentions(t, _tpch_model(spark, sf_dir))
+    return cooccurrence_document_pairs(mentions) \
+        .select("left_value", "left_tag", "right_value", "right_tag", "n")
+
+
 def _q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing (every-Nth frame per video payload): the
     explode shape a real sampler produces, over the deterministic fake
@@ -835,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats": _q_conversation_stats,
         "evaluation_counts": _q_evaluation_counts,
         "frame_samples": _q_frame_samples,
+        "cooccurrence_document": _q_cooccurrence_document,
         "sessionize_events": _q_sessionize,
         "event_windows": _q_event_windows,
         "user_activity": _q_user_activity,
@@ -1383,6 +1396,18 @@ SELECT DISTINCT 'nation n' || CAST(s.s_nationkey AS VARCHAR) AS remove_value
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+""",
+        "cooccurrence_document": _BASE_CTE + """
+, e AS (
+  SELECT DISTINCT conv_id, v, t FROM (
+    SELECT conv_id, cust AS v, 'PER' AS t FROM base
+    UNION ALL SELECT conv_id, supp, 'ORG' FROM base
+    UNION ALL SELECT conv_id, nat, 'LOC' FROM base)
+)
+SELECT a.v AS left_value, a.t AS left_tag,
+       b.v AS right_value, b.t AS right_tag, count(*) AS n
+FROM e a JOIN e b ON a.conv_id = b.conv_id AND a.v < b.v
+GROUP BY 1, 2, 3, 4
 """,
         # fake decode's frame count recomputed from the payload sha
         # (byte 2 of sha256 over the utf8 text), stride-10 sampling

@@ -309,6 +309,26 @@ def induce_patterns(mined: DataFrame, min_count: int = 2,
     return out
 
 
+def cooccurrence_document_pairs(mentions: DataFrame,
+                                doc_cols: tuple = ("conv_id",)) -> DataFrame:
+    """DOCUMENT-scope co-occurrence (CoOccurrenceRetriever.java:27-60's
+    DOCUMENT context, document = conversation): distinct per-document
+    mention values self-joined per document, counted per unordered pair
+    (left_value < right_value).  The distinct shrinks the join input to
+    the per-document entity vocabulary before the shuffle."""
+    e = mentions.select(*doc_cols, "value", "tag").distinct()
+    a, b = e.alias("a"), e.alias("b")
+    cond = F.col("a.value") < F.col("b.value")
+    for c in doc_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (a.join(b, cond)
+            .groupBy(F.col("a.value").alias("left_value"),
+                     F.col("a.tag").alias("left_tag"),
+                     F.col("b.value").alias("right_value"),
+                     F.col("b.tag").alias("right_tag"))
+            .agg(F.count("*").alias("n")))
+
+
 def cooccurrence_pairs(mentions: DataFrame, sentences: DataFrame) -> DataFrame:
     """Same-sentence mention pair counts (CoOccurrenceRetriever.java:27-60):
     the (subj, obj) candidate generator as a relational self-join keyed by
