@@ -474,8 +474,12 @@ def _q_ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from N (expected bucket ≈ target_bucket_rows — not round 1's fixed
     256 buckets), n_tables=2 is the banding that buys recall, and bucket
     scoring is chunked so no task holds an O(bucket²) matrix.
-    Approximate by design → no SQL oracle; the driver's rows-only check
-    applies, and recall vs the exact baseline is asserted in pytest."""
+    Approximate by design — but DETERMINISTIC given (seed, dim): the
+    oracle regenerates the same hyperplanes from RandomState(seed) (the
+    stable-prefix draw in _lsh_planes makes them independent of the
+    N-derived plane count) and replays signature → bucket → candidate →
+    rank fully in SQL, so this row is hash-verified end to end; pytest
+    keeps the recall-vs-exact gate for approximation quality."""
     from palladian_spark.operators.similarity_search import lsh_bucketed_top_k
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_bucketed_top_k(emb, k=1, n_planes=None, n_tables=2, seed=42) \
@@ -582,13 +586,17 @@ def _q_dates_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-1 neighbor via an IVF coarse quantizer (k-means||
-    centroids → posting lists → n_probe probed lists per query) — the
-    second scale path for similarity search next to LSH.  Approximate by
-    design → no SQL oracle; rows-only check + recall-vs-exact in pytest."""
+    """Approximate top-1 neighbor via an IVF coarse quantizer (centroids
+    → posting lists → n_probe probed lists per query) — the second scale
+    path for similarity search next to LSH.  The contract pins
+    quantizer="sample" (centroids = the √N lowest-id vectors) so the
+    assignment is engine-replayable and the oracle hash-verifies the full
+    pipeline; production default stays k-means|| (quantizer choice moves
+    recall, never pair soundness — scoring in probed lists is exact).
+    Recall-vs-exact for the k-means path stays gated in pytest."""
     from palladian_spark.operators.similarity_search import ivf_top_k
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_top_k(emb, k=1, n_probe=2, seed=42) \
+    return ivf_top_k(emb, k=1, n_probe=2, seed=42, quantizer="sample") \
         .select("a_id", "b_id", "cos_sim")
 
 
@@ -1012,8 +1020,110 @@ FROM tok t JOIN pick p ON t.token = p.token AND p.rn = 1
 """
 
 
+_ANN_SCORE_RANK = """
+scored AS (
+  SELECT c.a_id, c.b_id,
+         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(eb.embedding AS DOUBLE[])), 4)
+           AS cos_sim
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.a_id
+  JOIN embeddings eb ON eb.vec_id = c.b_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY a_id
+                               ORDER BY cos_sim DESC, b_id ASC) AS rn
+  FROM scored
+)
+SELECT a_id, b_id, cos_sim FROM ranked WHERE rn = 1
+"""
+
+
+def _ann_lsh_oracle() -> str:
+    """Full SQL replay of lsh_bucketed_top_k(k=1, n_tables=2, seed=42).
+
+    The hyperplanes are regenerated here from the SAME RandomState(42)
+    stable-prefix draw as operators.similarity_search._lsh_planes (dim=64
+    is the embeddings-table contract, TESTDATA.md), embedded as literals;
+    the plane count is re-derived from N with _auto_planes' formula.  The
+    union of per-bucket top-k under the (-rounded cos, b_id) total order
+    equals the top-k over the distinct candidate union, so the oracle can
+    rank over distinct same-bucket pairs directly.
+    """
+    import numpy as np
+
+    planes = np.random.RandomState(42).randn(2, 24, 64)
+    rows = ",\n".join(
+        "  ({t}, {j}, CAST([{c}] AS DOUBLE[]))".format(
+            t=t, j=j, c=", ".join(repr(x) for x in planes[t, j]))
+        for t in range(2) for j in range(24))
+    return """
+WITH nplanes AS (
+  SELECT LEAST(24, GREATEST(2,
+         CAST(ceil(log2(GREATEST(count(*), 2) / 4096.0)) AS INT))) AS np
+  FROM embeddings
+),
+planes(tbl, plane, coefs) AS (VALUES
+""" + rows + """
+),
+sig AS (
+  SELECT e.vec_id AS id, pl.tbl,
+         sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        pl.coefs) > 0
+                  THEN CAST(1 AS BIGINT) << pl.plane
+                  ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM embeddings e
+  CROSS JOIN planes pl
+  CROSS JOIN nplanes
+  WHERE pl.plane < nplanes.np
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                       AND a.id <> b.id
+),
+""" + _ANN_SCORE_RANK
+
+
+def _ann_ivf_oracle() -> str:
+    """Full SQL replay of ivf_top_k(k=1, n_probe=2, quantizer="sample"):
+    centroids = the floor(√N) lowest-id vectors, every vector joins its
+    top-1 centroid's posting list, queries probe their top-2 centroids
+    (ties by centroid index, matching the stable argsort), exact scoring
+    inside probed lists; same union-of-partials reduction as LSH."""
+    return """
+WITH n AS (SELECT count(*) AS c FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cidx, embedding
+  FROM embeddings CROSS JOIN n
+  QUALIFY row_number() OVER (ORDER BY vec_id ASC)
+          <= GREATEST(1, LEAST(c, CAST(floor(sqrt(c)) AS BIGINT)))
+),
+asg AS (
+  SELECT e.vec_id AS id, c.cidx,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS s
+  FROM embeddings e CROSS JOIN cents c
+),
+rankedasg AS (
+  SELECT id, cidx,
+         row_number() OVER (PARTITION BY id ORDER BY s DESC, cidx ASC) AS rn
+  FROM asg
+),
+member AS (SELECT id, cidx FROM rankedasg WHERE rn = 1),
+probe  AS (SELECT id, cidx FROM rankedasg WHERE rn <= 2),
+cand AS (
+  SELECT DISTINCT p.id AS a_id, m.id AS b_id
+  FROM probe p JOIN member m ON p.cidx = m.cidx AND p.id <> m.id
+),
+""" + _ANN_SCORE_RANK
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "ann_lsh_top1": _ann_lsh_oracle(),
+        "ann_ivf_top1": _ann_ivf_oracle(),
         "candidates_stringtagger": _BASE_CTE + """
 SELECT conv_id, turn_idx, 0 AS m_start,
        CAST(length(cust) AS INT) AS m_end, cust AS value,
@@ -1446,7 +1556,8 @@ SELECT conv_id, count(*) AS n_turns,
        sum(CASE WHEN ln % 2 <> 0 THEN 1 ELSE 0 END) AS n_user,
        sum(CASE WHEN ln % 2 = 0 THEN 1 ELSE 0 END) AS n_assistant,
        min(ts) AS first_ts, max(ts) AS last_ts,
-       round(avg(length(cust) + length(supp) + length(nat) + 16), 4)
+       round(CAST(sum(length(cust) + length(supp) + length(nat) + 16)
+                  AS DOUBLE) / count(*), 4)
          AS avg_chars
 FROM base GROUP BY 1
 """,
@@ -1708,21 +1819,25 @@ WITH o AS (
 )
 SELECT user_id, CAST(sid AS BIGINT) AS session_id,
        min(ts) AS session_start, max(ts) AS session_end,
-       count(*) AS n_events, round(sum(value), 6) AS total_value
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE), 6)
+         AS total_value
 FROM s GROUP BY 1, 2
 """,
         "event_windows": """
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
        time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
        event_type, count(*) AS n_events,
-       round(sum(value), 6) AS total_value
+       round(CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE), 6)
+         AS total_value
 FROM events GROUP BY 1, 2, 3
 """,
         "user_activity": """
 SELECT user_id, count(*) AS n_events,
        count(DISTINCT event_type) AS n_event_types,
        min(ts) AS first_seen, max(ts) AS last_seen,
-       round(sum(value), 6) AS total_value
+       round(CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE), 6)
+         AS total_value
 FROM events GROUP BY 1
 """,
         "gazetteer_scan": _BASE_CTE + """

@@ -21,6 +21,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _exact_sum(col: str, decimals: int = 6):
+    """Order-independent rounded sum of a double column.
+
+    A plain double ``sum`` merges partials in partition order, so the last
+    rounded decimal can flip between runs when the true sum sits near a
+    round-half boundary.  Casting each value to a decimal first makes the
+    sum exact (decimal addition is associative/commutative), so the result
+    is identical for any partitioning.  Scale 9 >> the data's precision, so
+    the per-row cast never changes a value's meaning.
+    """
+    return F.round(
+        F.sum(F.col(col).cast("decimal(38,9)")).cast("double"), decimals)
+
+
 def session_islands(events: DataFrame, timeout_minutes: int = 30,
                     user_col: str = "user_id", ts_col: str = "ts",
                     tiebreak_col: str = "event_id") -> DataFrame:
@@ -64,7 +78,7 @@ def sessionize(events: DataFrame, timeout_minutes: int = 30,
             F.max(ts_col).alias("session_end"),
             F.count("*").alias("n_events")]
     if value_col is not None and value_col in events.columns:
-        aggs.append(F.round(F.sum(value_col), 6).alias("total_value"))
+        aggs.append(_exact_sum(value_col).alias("total_value"))
     return with_id.groupBy(user_col, "session_id").agg(*aggs)
 
 
@@ -75,7 +89,7 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     return (events
             .groupBy(F.window(ts_col, window).alias("w"), "event_type")
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 6).alias("total_value"))
+                 _exact_sum("value").alias("total_value"))
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
                     "event_type", "n_events", "total_value"))
@@ -95,7 +109,12 @@ def conversation_stats(transcripts: DataFrame) -> DataFrame:
                  .alias("n_assistant"),
                  F.min("ts").alias("first_ts"),
                  F.max("ts").alias("last_ts"),
-                 F.round(F.avg(F.length("text")), 4).alias("avg_chars")))
+                 # NOT F.avg: avg over an int column merges double partials,
+                 # so the 4th decimal can flip with partition merge order at
+                 # round-half boundaries.  Exact long sum + one final
+                 # division is deterministic for any partitioning.
+                 F.round(F.sum(F.length("text")).cast("double")
+                         / F.count(F.lit(1)), 4).alias("avg_chars")))
 
 
 def user_activity(events: DataFrame) -> DataFrame:
@@ -105,4 +124,4 @@ def user_activity(events: DataFrame) -> DataFrame:
                  F.countDistinct("event_type").alias("n_event_types"),
                  F.min("ts").alias("first_seen"),
                  F.max("ts").alias("last_seen"),
-                 F.round(F.sum("value"), 6).alias("total_value")))
+                 _exact_sum("value").alias("total_value")))

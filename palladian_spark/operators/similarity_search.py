@@ -277,8 +277,27 @@ def _auto_planes(n: int, target_bucket_rows: int) -> int:
     (4 buckets minimum so tiny inputs still hash; 16M buckets is plenty —
     beyond that, raise target_bucket_rows instead).
     """
-    return max(2, min(24, math.ceil(
+    return max(2, min(_MAX_PLANES, math.ceil(
         math.log2(max(n, 2) / max(target_bucket_rows, 1)))))
+
+
+_MAX_PLANES = 24  # _auto_planes cap; also the stable plane-draw width
+
+
+def _lsh_planes(seed: int, n_tables: int, n_planes: int,
+                dim: int) -> np.ndarray:
+    """Random hyperplanes as a STABLE PREFIX of a fixed-width draw.
+
+    Drawing ``randn(n_tables, n_planes, dim)`` directly would make every
+    table's planes depend on the *derived* n_planes (row-major fill), so
+    the same seed would bucket differently at different N.  Drawing at the
+    _MAX_PLANES cap and slicing keeps plane (t, j) identical for every
+    n_planes ≤ 24 — which is what lets an external oracle replay the
+    bucketing from (seed, dim) alone, without knowing N.
+    """
+    width = max(n_planes, _MAX_PLANES)
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_tables, width, dim)[:, :n_planes, :]
 
 
 def _lsh_bucketed(embeddings: DataFrame, n_planes, n_tables, seed,
@@ -294,8 +313,7 @@ def _lsh_bucketed(embeddings: DataFrame, n_planes, n_tables, seed,
         n_planes = _auto_planes(embeddings.count(), target_bucket_rows)
     first = embeddings.select(vec_col).first()
     dim = len(first[vec_col])
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(n_tables, n_planes, dim)
+    planes = _lsh_planes(seed, n_tables, n_planes, dim)
     planes_bc = spark.sparkContext.broadcast(planes)
 
     src = embeddings.select(
@@ -367,7 +385,8 @@ def ivf_top_k(embeddings: DataFrame, k: int = 1,
               n_centroids: int | None = None, n_probe: int = 2,
               seed: int = 42, round_decimals: int = 4,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              chunk_rows: int = 1024, max_iter: int = 10) -> DataFrame:
+              chunk_rows: int = 1024, max_iter: int = 10,
+              quantizer: str = "kmeans") -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer:
     k-means centroids partition the space, every vector lives in its
     nearest centroid's posting list, and each query probes its ``n_probe``
@@ -381,10 +400,15 @@ def ivf_top_k(embeddings: DataFrame, k: int = 1,
     n_centroids defaults to √N (the classic IVF sizing), so posting
     lists stay ~√N and total probed work is O(N·√N / lists) per query
     batch instead of O(N²).
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
+    quantizer: "kmeans" (default) trains k-means|| — best posting-list
+    balance, but its internal RNG is engine-specific.  "sample" takes the
+    ``n_centroids`` lowest-id vectors as centroids — a cruder quantizer
+    (affects recall only, never pair soundness: scoring inside probed
+    lists is exact either way) whose assignment an external SQL oracle
+    can replay exactly, which is how the driver's ann_ivf contract row is
+    hash-verified end to end.
+    """
     n = embeddings.count()
     if n_centroids is None:
         n_centroids = max(1, min(int(math.sqrt(n)), n))
@@ -393,10 +417,21 @@ def ivf_top_k(embeddings: DataFrame, k: int = 1,
     src = embeddings.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"))
-    feat = src.withColumn("_f", array_to_vector("vec"))
-    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter,
-                   featuresCol="_f", predictionCol="_c").fit(feat)
-    centers = np.array(model.clusterCenters(), dtype=np.float64)
+    if quantizer == "sample":
+        # model-sized driver fetch (√N rows) — same footprint as the
+        # k-means centroid matrix that gets broadcast either way
+        rows = src.orderBy("id").limit(n_centroids).collect()
+        centers = np.array([r["vec"] for r in rows], dtype=np.float64)
+    elif quantizer == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = src.withColumn("_f", array_to_vector("vec"))
+        model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter,
+                       featuresCol="_f", predictionCol="_c").fit(feat)
+        centers = np.array(model.clusterCenters(), dtype=np.float64)
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
     cnorm = np.linalg.norm(centers, axis=1)
     cnorm[cnorm == 0] = 1.0
     centers_bc = src.sparkSession.sparkContext.broadcast(
