@@ -300,13 +300,122 @@ def _lsh_planes(seed: int, n_tables: int, n_planes: int,
     return rng.randn(n_tables, width, dim)[:, :n_planes, :]
 
 
+# --- hot-bucket bounding -----------------------------------------------
+#
+# A near-dup corpus is correlated BY DEFINITION: a mega-cluster of
+# duplicates lands in the same bucket of every table (LSH) / the same
+# posting list (IVF), and a per-group applyInPandas task would
+# materialize the whole group — chunked scoring bounds the sims matrix
+# but not the O(group_rows × dim) payload.  The fix is the pack-block
+# shape *inside* the bucket: a light signature-only pass counts rows per
+# group, groups over ``max_bucket_rows`` are salt-split into ceil(n/cap)
+# sub-buckets, and each (member-sub × query-sub) cross product becomes
+# its own task.  Every (query, member) pair lands in exactly one
+# sub-group, so union-of-partials (then the usual dedup + window reduce)
+# is unchanged; per-task memory is ~2·cap vectors regardless of how
+# pathological the data is.  The quadratic WORK inside a duplicate
+# mega-cluster is inherent to exact in-bucket scoring — only the memory
+# was the scale bug.
+
+_ROLE_MEMBER, _ROLE_QUERY, _ROLE_BOTH = 0, 1, 2
+
+
+def _salt(ids: np.ndarray, splits: np.ndarray) -> np.ndarray:
+    """Deterministic sub-bucket for each id (splitmix-style mix)."""
+    h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    h ^= h >> np.uint64(29)
+    return (h % splits.astype(np.uint64)).astype(np.int32)
+
+
+def _copy_plan(splits: np.ndarray):
+    """(row_index_per_copy, sub_index_per_copy) for rows needing
+    ``splits[i]`` copies each — fully vectorized."""
+    idx = np.repeat(np.arange(len(splits)), splits)
+    starts = np.cumsum(splits) - splits
+    sub = (np.arange(splits.sum()) - np.repeat(starts, splits)) \
+        .astype(np.int32)
+    return idx, sub
+
+
+def _emit_salted(base: pd.DataFrame, splits: np.ndarray,
+                 ids: np.ndarray, roles: np.ndarray | None):
+    """Explode one signature chunk into salted sub-group rows.
+
+    base carries (table?, bucket, id, vec); splits[i] == 1 rows pass
+    through with (m_sub, q_sub) = (0, 0) keeping their role (or BOTH when
+    roles is None — the LSH case where every row is query and member).
+    splits[i] > 1 rows become ``splits`` member copies (fixed m_sub =
+    salt, every q_sub) plus ``splits`` query copies (every m_sub, fixed
+    q_sub = salt): each (query, member) pair meets in exactly one
+    sub-group.
+    """
+    out = []
+    one = splits == 1
+    if one.any():
+        flat = base.iloc[np.nonzero(one)[0]].copy()
+        flat["m_sub"] = np.int32(0)
+        flat["q_sub"] = np.int32(0)
+        flat["role"] = (np.full(len(flat), _ROLE_BOTH, dtype=np.int32)
+                        if roles is None else roles[one].astype(np.int32))
+        out.append(flat)
+    multi = np.nonzero(~one)[0]
+    if len(multi):
+        s = splits[multi]
+        salt = _salt(ids[multi], s)
+        rep, sub = _copy_plan(s)
+        rows = base.iloc[multi]
+        # roles None (LSH): every row is member AND query; otherwise the
+        # input roles decide which copy family a row joins
+        mem_mask = (np.ones(len(multi), bool) if roles is None
+                    else roles[multi] == _ROLE_MEMBER)
+        qry_mask = (np.ones(len(multi), bool) if roles is None
+                    else roles[multi] == _ROLE_QUERY)
+        for mask, m_fixed in ((mem_mask, True), (qry_mask, False)):
+            pos = np.nonzero(mask)[0]
+            if not len(pos):
+                continue
+            keep = np.isin(rep, pos)
+            r, j = rep[keep], sub[keep]
+            c = rows.iloc[r].copy()
+            c["m_sub"] = salt[r] if m_fixed else j
+            c["q_sub"] = j if m_fixed else salt[r]
+            c["role"] = np.full(len(c), _ROLE_MEMBER if m_fixed
+                                else _ROLE_QUERY, dtype=np.int32)
+            out.append(c)
+    return out
+
+
+def _group_sides(pdf: pd.DataFrame, cap: int | None):
+    """(members, queries) of one scored group + a loud memory guard —
+    the guard is what turns a silent executor OOM at 10⁹ vectors into an
+    actionable error naming the knob."""
+    role = pdf["role"].to_numpy()
+    if (role == _ROLE_BOTH).any():
+        members = queries = pdf
+    else:
+        members = pdf[role == _ROLE_MEMBER]
+        queries = pdf[role == _ROLE_QUERY]
+    if cap is not None and max(len(members), len(queries)) > 4 * cap + 64:
+        raise RuntimeError(
+            f"similarity-search sub-group holds {max(len(members), len(queries))} "
+            f"rows against max_bucket_rows={cap} — salted splitting failed "
+            "to bound this group; lower max_bucket_rows or check for "
+            "adversarial id collisions.")
+    return members, queries
+
+
 def _lsh_bucketed(embeddings: DataFrame, n_planes, n_tables, seed,
-                  id_col, vec_col, target_bucket_rows):
-    """Shared front half: (table, bucket, id, vec) rows, one Arrow pass.
+                  id_col, vec_col, target_bucket_rows,
+                  max_bucket_rows=None):
+    """Shared front half: (table, bucket, m_sub, q_sub, role, id, vec)
+    rows, one Arrow payload pass.
 
     The signature is computed in the SAME pass that carries the payload —
     no second join against the vector table (round 1 re-shuffled the full
-    table to re-attach vectors to signatures).
+    table to re-attach vectors to signatures).  With ``max_bucket_rows``
+    set, a signature-only pre-pass (no vector shuffle — the count agg is
+    map-side combinable) finds oversized buckets; the split map is
+    driver-sized (≤ N/cap entries) and broadcast into the payload pass.
     """
     spark = embeddings.sparkSession
     if n_planes is None:
@@ -320,27 +429,62 @@ def _lsh_bucketed(embeddings: DataFrame, n_planes, n_tables, seed,
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"))
 
+    def signatures(pdf: pd.DataFrame):
+        pls = planes_bc.value
+        weights = 1 << np.arange(pls.shape[1])
+        vecs = np.array(list(pdf["vec"]), dtype=np.float64)
+        for t in range(pls.shape[0]):
+            bits = (vecs @ pls[t].T) > 0
+            yield t, bits.dot(weights).astype(np.int64)
+
+    big: dict = {}
+    if max_bucket_rows is not None:
+        count_schema = StructType([StructField("table", IntegerType()),
+                                   StructField("bucket", LongType())])
+
+        def sig_only(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                for t, buckets in signatures(pdf):
+                    yield pd.DataFrame({
+                        "table": np.full(len(pdf), t, dtype=np.int32),
+                        "bucket": buckets})
+
+        oversized = (src.mapInPandas(sig_only, count_schema)
+                     .groupBy("table", "bucket")
+                     .agg(F.count("*").alias("n"))
+                     .where(F.col("n") > max_bucket_rows)
+                     .collect())
+        big = {(r["table"], r["bucket"]):
+               -(-r["n"] // max_bucket_rows) for r in oversized}
+    big_bc = spark.sparkContext.broadcast(big)
+
     sig_schema = StructType([
         StructField("table", IntegerType()),
         StructField("bucket", LongType()),
+        StructField("m_sub", IntegerType()),
+        StructField("q_sub", IntegerType()),
+        StructField("role", IntegerType()),
         StructField("id", LongType()),
-        StructField("vec",
-                    src.schema["vec"].dataType),
+        StructField("vec", src.schema["vec"].dataType),
     ])
 
     def signature(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pls = planes_bc.value
-        weights = 1 << np.arange(pls.shape[1])
+        split_map = big_bc.value
         for pdf in it:
-            vecs = np.array(list(pdf["vec"]), dtype=np.float64)
-            for t in range(pls.shape[0]):
-                bits = (vecs @ pls[t].T) > 0
-                yield pd.DataFrame({
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            for t, buckets in signatures(pdf):
+                base = pd.DataFrame({
                     "table": np.full(len(pdf), t, dtype=np.int32),
-                    "bucket": bits.dot(weights).astype(np.int64),
-                    "id": pdf["id"].to_numpy(dtype=np.int64),
-                    "vec": pdf["vec"],
-                })
+                    "bucket": buckets, "id": ids, "vec": pdf["vec"]})
+                if split_map:
+                    splits = np.array(
+                        [split_map.get((t, b), 1) for b in buckets],
+                        dtype=np.int64)
+                else:
+                    splits = np.ones(len(pdf), dtype=np.int64)
+                for frame in _emit_salted(base, splits, ids, None):
+                    yield frame[["table", "bucket", "m_sub", "q_sub",
+                                 "role", "id", "vec"]]
 
     return src.mapInPandas(signature, sig_schema)
 
@@ -350,33 +494,49 @@ def lsh_bucketed_top_k(embeddings: DataFrame, k: int = 1,
                        seed: int = 42, round_decimals: int = 4,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        target_bucket_rows: int = 4096,
-                       chunk_rows: int = 1024) -> DataFrame:
+                       chunk_rows: int = 1024,
+                       max_bucket_rows: int | None = 65536) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH → chunked exact
     search per (table, bucket) → global window reduce.
 
     n_planes=None derives the bucket count from N (expected bucket ≈
     target_bucket_rows); n_tables > 1 is the banding that buys recall back.
     Within a bucket the scoring runs in ``chunk_rows`` query slices — the
-    task never holds an O(bucket²) similarity matrix.
+    task never holds an O(bucket²) similarity matrix — and buckets over
+    ``max_bucket_rows`` (duplicate mega-clusters) are salt-split into
+    sub-bucket cross products so no task materializes an unbounded
+    payload either (None disables the pre-pass).
     """
     tagged = _lsh_bucketed(embeddings, n_planes, n_tables, seed,
-                           id_col, vec_col, target_bucket_rows)
+                           id_col, vec_col, target_bucket_rows,
+                           max_bucket_rows)
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["id"].to_numpy(dtype=np.int64)
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        unit = _unit(np.array(list(pdf["vec"].iloc[order]), dtype=np.float64))
+        members, queries = _group_sides(pdf, max_bucket_rows)
+        if members.empty or queries.empty:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []})
+        m_ids = members["id"].to_numpy(dtype=np.int64)
+        order = np.argsort(m_ids, kind="stable")
+        m_ids = m_ids[order]
+        m_unit = _unit(np.array(list(members["vec"].iloc[order]),
+                                dtype=np.float64))
+        if queries is members:
+            q_ids, q_unit = m_ids, m_unit
+        else:
+            q_ids = queries["id"].to_numpy(dtype=np.int64)
+            q_unit = _unit(np.array(list(queries["vec"]), dtype=np.float64))
         frames = [pd.DataFrame(cols) for cols in _topk_partials(
-            ids, unit, ids, unit, k, round_decimals, chunk_rows)]
+            q_ids, q_unit, m_ids, m_unit, k, round_decimals, chunk_rows)]
         if not frames:
             return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []})
         return pd.concat(frames, ignore_index=True)
 
-    partials = (tagged.groupBy("table", "bucket")
+    partials = (tagged.groupBy("table", "bucket", "m_sub", "q_sub")
                 .applyInPandas(per_bucket, PARTIAL_SCHEMA)
-                # the same pair can surface from several tables with the
-                # identical rounded cosine — dedupe before the reduce
+                # the same pair can surface from several tables (and, for
+                # a split bucket, several sub-groups never repeat a pair —
+                # but tables do) with the identical rounded cosine —
+                # dedupe before the reduce
                 .dropDuplicates(["a_id", "b_id"]))
     return _global_top_k(partials, k)
 
@@ -386,7 +546,8 @@ def ivf_top_k(embeddings: DataFrame, k: int = 1,
               seed: int = 42, round_decimals: int = 4,
               id_col: str = "vec_id", vec_col: str = "embedding",
               chunk_rows: int = 1024, max_iter: int = 10,
-              quantizer: str = "kmeans") -> DataFrame:
+              quantizer: str = "kmeans",
+              max_bucket_rows: int | None = 65536) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer:
     k-means centroids partition the space, every vector lives in its
     nearest centroid's posting list, and each query probes its ``n_probe``
@@ -408,6 +569,10 @@ def ivf_top_k(embeddings: DataFrame, k: int = 1,
     lists is exact either way) whose assignment an external SQL oracle
     can replay exactly, which is how the driver's ann_ivf contract row is
     hash-verified end to end.
+
+    Posting lists over ``max_bucket_rows`` (hot lists under duplicate-
+    heavy data) are salt-split into sub-list cross products — same memory
+    bound as the LSH path; None disables the counting pre-pass.
     """
     n = embeddings.count()
     if n_centroids is None:
@@ -437,36 +602,71 @@ def ivf_top_k(embeddings: DataFrame, k: int = 1,
     centers_bc = src.sparkSession.sparkContext.broadcast(
         centers / cnorm[:, None])
 
+    def assignments(pdf: pd.DataFrame):
+        """(all-roles bucket array, role array, copy plan) per chunk."""
+        cu = centers_bc.value
+        unit = _unit(np.array(list(pdf["vec"]), dtype=np.float64))
+        sims = unit @ cu.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        n = len(pdf)
+        buckets = np.concatenate(
+            [order[:, 0]] + [order[:, j] for j in range(n_probe)]) \
+            .astype(np.int32)
+        roles = np.concatenate(
+            [np.zeros(n, dtype=np.int32),
+             np.ones(n * n_probe, dtype=np.int32)])
+        return buckets, roles
+
+    big: dict = {}
+    if max_bucket_rows is not None:
+        count_schema = StructType([StructField("bucket", IntegerType())])
+
+        def assign_count(it: Iterator[pd.DataFrame]) \
+                -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                buckets, _ = assignments(pdf)
+                yield pd.DataFrame({"bucket": buckets})
+
+        oversized = (src.mapInPandas(assign_count, count_schema)
+                     .groupBy("bucket").agg(F.count("*").alias("n"))
+                     .where(F.col("n") > max_bucket_rows)
+                     .collect())
+        big = {r["bucket"]: -(-r["n"] // max_bucket_rows)
+               for r in oversized}
+    big_bc = src.sparkSession.sparkContext.broadcast(big)
+
     tagged_schema = StructType([
         StructField("bucket", IntegerType()),
+        StructField("m_sub", IntegerType()),
+        StructField("q_sub", IntegerType()),
         StructField("role", IntegerType()),  # 0 = member, 1 = probing query
         StructField("id", LongType()),
         StructField("vec", src.schema["vec"].dataType),
     ])
 
     def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cu = centers_bc.value
+        split_map = big_bc.value
         for pdf in it:
-            unit = _unit(np.array(list(pdf["vec"]), dtype=np.float64))
-            sims = unit @ cu.T
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
-            ids = pdf["id"].to_numpy(dtype=np.int64)
-            frames = [pd.DataFrame({
-                "bucket": order[:, 0].astype(np.int32),
-                "role": np.zeros(len(ids), dtype=np.int32),
-                "id": ids, "vec": pdf["vec"]})]
-            for j in range(n_probe):
-                frames.append(pd.DataFrame({
-                    "bucket": order[:, j].astype(np.int32),
-                    "role": np.ones(len(ids), dtype=np.int32),
-                    "id": ids, "vec": pdf["vec"]}))
-            yield pd.concat(frames, ignore_index=True)
+            buckets, roles = assignments(pdf)
+            n_copies = 1 + n_probe
+            ids = np.tile(pdf["id"].to_numpy(dtype=np.int64), n_copies)
+            base = pd.DataFrame({
+                "bucket": buckets, "id": ids,
+                "vec": pd.concat([pdf["vec"]] * n_copies,
+                                 ignore_index=True)})
+            if split_map:
+                splits = np.array([split_map.get(b, 1) for b in buckets],
+                                  dtype=np.int64)
+            else:
+                splits = np.ones(len(base), dtype=np.int64)
+            for frame in _emit_salted(base, splits, ids, roles):
+                yield frame[["bucket", "m_sub", "q_sub", "role",
+                             "id", "vec"]]
 
     tagged = src.mapInPandas(assign, tagged_schema)
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        members = pdf[pdf["role"] == 0]
-        queries = pdf[pdf["role"] == 1]
+        members, queries = _group_sides(pdf, max_bucket_rows)
         if members.empty or queries.empty:
             return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []})
         m_ids = members["id"].to_numpy(dtype=np.int64)
@@ -482,7 +682,7 @@ def ivf_top_k(embeddings: DataFrame, k: int = 1,
             return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []})
         return pd.concat(frames, ignore_index=True)
 
-    partials = (tagged.groupBy("bucket")
+    partials = (tagged.groupBy("bucket", "m_sub", "q_sub")
                 .applyInPandas(per_bucket, PARTIAL_SCHEMA)
                 # a pair found via several probed buckets has the same
                 # rounded cosine — dedupe before the reduce
@@ -495,29 +695,45 @@ def lsh_bucketed_pairs(embeddings: DataFrame, threshold: float = 0.95,
                        seed: int = 42, round_decimals: int = 4,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        target_bucket_rows: int = 4096,
-                       chunk_rows: int = 1024) -> DataFrame:
-    """Approximate thresholded near-dup pairs via the same LSH buckets."""
+                       chunk_rows: int = 1024,
+                       max_bucket_rows: int | None = 65536) -> DataFrame:
+    """Approximate thresholded near-dup pairs via the same LSH buckets.
+
+    The a_id < b_id filter makes the salt-split exact here too: an
+    unordered pair meets once as (query=a, member=b) and once mirrored
+    across sub-groups, and only the ascending orientation is emitted.
+    """
     tagged = _lsh_bucketed(embeddings, n_planes, n_tables, seed,
-                           id_col, vec_col, target_bucket_rows)
+                           id_col, vec_col, target_bucket_rows,
+                           max_bucket_rows)
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["id"].to_numpy(dtype=np.int64)
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        unit = _unit(np.array(list(pdf["vec"].iloc[order]), dtype=np.float64))
+        members, queries = _group_sides(pdf, max_bucket_rows)
+        if members.empty or queries.empty:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []})
+        m_ids = members["id"].to_numpy(dtype=np.int64)
+        order = np.argsort(m_ids, kind="stable")
+        m_ids = m_ids[order]
+        m_unit = _unit(np.array(list(members["vec"].iloc[order]),
+                                dtype=np.float64))
+        if queries is members:
+            q_ids, q_unit = m_ids, m_unit
+        else:
+            q_ids = queries["id"].to_numpy(dtype=np.int64)
+            q_unit = _unit(np.array(list(queries["vec"]), dtype=np.float64))
         frames = []
-        for lo in range(0, len(ids), chunk_rows):
-            hi = min(lo + chunk_rows, len(ids))
-            sims = np.round(unit[lo:hi] @ unit.T, round_decimals)
-            keep = (sims >= threshold) & (ids[lo:hi, None] < ids[None, :])
+        for lo in range(0, len(q_ids), chunk_rows):
+            hi = min(lo + chunk_rows, len(q_ids))
+            sims = np.round(q_unit[lo:hi] @ m_unit.T, round_decimals)
+            keep = (sims >= threshold) & (q_ids[lo:hi, None] < m_ids[None, :])
             qi, cj = np.nonzero(keep)
             frames.append(pd.DataFrame({
-                "a_id": ids[lo:hi][qi], "b_id": ids[cj],
+                "a_id": q_ids[lo:hi][qi], "b_id": m_ids[cj],
                 "cos_sim": sims[qi, cj].astype(np.float64)}))
         if not frames:
             return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []})
         return pd.concat(frames, ignore_index=True)
 
-    return (tagged.groupBy("table", "bucket")
+    return (tagged.groupBy("table", "bucket", "m_sub", "q_sub")
             .applyInPandas(per_bucket, PAIRS_SCHEMA)
             .dropDuplicates(["a_id", "b_id"]))
