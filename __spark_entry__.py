@@ -528,14 +528,10 @@ _MONTHS_SHORT = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug",
 _WEEKDAYS_SHORT = ["Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat"]
 
 
-def _q_dates_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full DateParser/DateAndTimeTagger port (42 RegExp.ALL_DATE_FORMATS
-    patterns + context-year, trial order + masking + digit-neighbor rules
-    from DateParser.java:197-254) over transcripts with five embedded date
-    formats per turn (RFC-1123, ISO, EU dotted, US slashed, long US).  The
-    oracle reconstructs every expected (value, fmt, offset) analytically
-    from the same deterministic text construction."""
-    from palladian_spark.operators.dates_df import tag_datetimes_df
+def _dates_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-order text embedding five date formats
+    (RFC-1123, ISO, EU dotted, US slashed, long US) — shared by the
+    dates_tagged and dates_normalized contract queries."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     d0 = F.to_date("o_orderdate")
 
@@ -578,11 +574,37 @@ def _q_dates_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
                     iso(d0), F.lit(" eu "), eu(F.date_add(d0, 1)),
                     F.lit(" us "), us(F.date_add(d0, 2)),
                     F.lit(" on "), longd(F.date_add(d0, 3)), F.lit(" ok"))
-    transcripts = orders.select(
+    return orders.select(
         F.concat(F.lit("d"), s(F.col("o_orderkey"))).alias("conv_id"),
         F.lit(0).cast("int").alias("turn_idx"), text.alias("text"))
-    return tag_datetimes_df(transcripts) \
+
+
+def _q_dates_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DateParser/DateAndTimeTagger port (42 RegExp.ALL_DATE_FORMATS
+    patterns + context-year, trial order + masking + digit-neighbor rules
+    from DateParser.java:197-254) over transcripts with five embedded date
+    formats per turn.  The oracle reconstructs every expected (value, fmt,
+    offset) analytically from the same deterministic text construction."""
+    from palladian_spark.operators.dates_df import tag_datetimes_df
+    return tag_datetimes_df(_dates_transcripts(spark, sf_dir)) \
         .select("conv_id", "turn_idx", "value", "fmt", "m_start")
+
+
+def _q_dates_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DateParserLogic normalization half (DateParserLogic.java:66-283 via
+    textproc/date_logic.py): every DATETIME mention with typed
+    (year, month, day, hour, minute, second, tz) fields.  context_year
+    pinned to 2026 so two-digit-year folding is deterministic (the
+    embedded formats all use four-digit years, so the pin is belt and
+    braces for the oracle).  The oracle states the expected calendar
+    fields analytically from the same date arithmetic that built the
+    text."""
+    from palladian_spark.operators.dates_df import (
+        tag_datetimes_normalized_df)
+    return tag_datetimes_normalized_df(
+        _dates_transcripts(spark, sf_dir), context_year=2026).select(
+        "conv_id", "turn_idx", "value", "fmt", "m_start", "year", "month",
+        "day", "hour", "minute", "second", "tz")
 
 
 def _q_ann_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -848,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gazetteer_scan": _q_gazetteer,
         "complete_retrain_removed": _q_complete_retrain,
         "dates_tagged": _q_dates_tagged,
+        "dates_normalized": _q_dates_normalized,
         "word_skipgrams": _q_word_skipgrams,
         "context_dictionary": _q_context_dictionary,
         "left_contexts": _q_left_contexts,
@@ -859,7 +882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize,
         "event_windows": _q_event_windows,
         "user_activity": _q_user_activity,
-        # approximate by design: no oracle_sql entry → rows-only check
+        # approximate by design but deterministic given the pinned seed /
+        # sample quantizer — full SQL replay oracles (round 3)
         "ann_lsh_top1": _q_ann_lsh_top1,
         "ann_ivf_top1": _q_ann_ivf_top1,
     }
@@ -1721,6 +1745,75 @@ UNION ALL
 SELECT conv_id, 0, us, 'MM/DD/YYYY', CAST(us_start AS INT) FROM pos
 UNION ALL
 SELECT conv_id, 0, lng, 'MMMM DD, YYYY', CAST(long_start AS INT) FROM pos
+""",
+        # same analytic construction as dates_tagged, extended with the
+        # expected calendar fields per format (RFC carries time + GMT;
+        # the four date-only formats leave time NULL)
+        "dates_normalized": """
+WITH base AS (
+  SELECT 'd' || CAST(o_orderkey AS VARCHAR) AS conv_id,
+         CAST(o_orderdate AS DATE) AS d0, o_orderkey, o_custkey
+  FROM orders
+), r AS (
+  SELECT conv_id, d0, o_orderkey, o_custkey,
+    list_extract(['Sun','Mon','Tue','Wed','Thu','Fri','Sat'],
+                 dayofweek(d0+4)+1)
+      || ', ' || lpad(CAST(day(d0+4) AS VARCHAR),2,'0') || ' '
+      || list_extract(['Jan','Feb','Mar','Apr','May','Jun','Jul','Aug',
+                       'Sep','Oct','Nov','Dec'], month(d0+4))
+      || ' ' || CAST(year(d0+4) AS VARCHAR) || ' '
+      || lpad(CAST(o_custkey % 24 AS VARCHAR),2,'0')
+      || ':' || lpad(CAST(o_orderkey % 60 AS VARCHAR),2,'0')
+      || ':' || lpad(CAST((o_orderkey*7) % 60 AS VARCHAR),2,'0')
+      || ' GMT' AS rfc,
+    CAST(year(d0) AS VARCHAR) || '-' || lpad(CAST(month(d0) AS VARCHAR),2,'0')
+      || '-' || lpad(CAST(day(d0) AS VARCHAR),2,'0') AS iso,
+    CAST(day(d0+1) AS VARCHAR) || '.' || CAST(month(d0+1) AS VARCHAR)
+      || '.' || CAST(year(d0+1) AS VARCHAR) AS eu,
+    CAST(month(d0+2) AS VARCHAR) || '/' || CAST(day(d0+2) AS VARCHAR)
+      || '/' || CAST(year(d0+2) AS VARCHAR) AS us,
+    list_extract(['January','February','March','April','May','June','July',
+                  'August','September','October','November','December'],
+                 month(d0+3))
+      || ' ' || CAST(day(d0+3) AS VARCHAR) || ', '
+      || CAST(year(d0+3) AS VARCHAR) AS lng
+  FROM base
+), pos AS (
+  SELECT *,
+         13 AS rfc_start,
+         13 + length(rfc) + 11 AS iso_start,
+         13 + length(rfc) + 11 + 10 + 4 AS eu_start,
+         13 + length(rfc) + 11 + 10 + 4 + length(eu) + 4 AS us_start,
+         13 + length(rfc) + 11 + 10 + 4 + length(eu) + 4
+            + length(us) + 4 AS long_start
+  FROM r
+)
+SELECT conv_id, 0 AS turn_idx, rfc AS value,
+       'WD, DD MMM YYYY HH:MM:SS TZ' AS fmt,
+       CAST(rfc_start AS INT) AS m_start,
+       CAST(year(d0+4) AS INT) AS year, CAST(month(d0+4) AS INT) AS month,
+       CAST(day(d0+4) AS INT) AS day,
+       CAST(o_custkey % 24 AS INT) AS hour,
+       CAST(o_orderkey % 60 AS INT) AS minute,
+       CAST((o_orderkey*7) % 60 AS INT) AS second,
+       'GMT' AS tz
+FROM pos
+UNION ALL
+SELECT conv_id, 0, iso, 'YYYY-MM-DD', CAST(iso_start AS INT),
+       CAST(year(d0) AS INT), CAST(month(d0) AS INT), CAST(day(d0) AS INT),
+       NULL, NULL, NULL, NULL FROM pos
+UNION ALL
+SELECT conv_id, 0, eu, 'DD.MM.YYYY', CAST(eu_start AS INT),
+       CAST(year(d0+1) AS INT), CAST(month(d0+1) AS INT),
+       CAST(day(d0+1) AS INT), NULL, NULL, NULL, NULL FROM pos
+UNION ALL
+SELECT conv_id, 0, us, 'MM/DD/YYYY', CAST(us_start AS INT),
+       CAST(year(d0+2) AS INT), CAST(month(d0+2) AS INT),
+       CAST(day(d0+2) AS INT), NULL, NULL, NULL, NULL FROM pos
+UNION ALL
+SELECT conv_id, 0, lng, 'MMMM DD, YYYY', CAST(long_start AS INT),
+       CAST(year(d0+3) AS INT), CAST(month(d0+3) AS INT),
+       CAST(day(d0+3) AS INT), NULL, NULL, NULL, NULL FROM pos
 """,
         "embedding_neardup": """
 SELECT a.vec_id a_id, b.vec_id b_id,

@@ -51,3 +51,55 @@ def tag_datetimes_df(transcripts: DataFrame,
     return (transcripts
             .select("conv_id", "turn_idx", text_col)
             .mapInPandas(run, DATES_SCHEMA))
+
+
+DATES_NORM_SCHEMA = (
+    "conv_id string, turn_idx int, value string, fmt string, m_start int, "
+    "year int, month int, day int, hour int, minute int, second int, "
+    "tz string")
+
+
+def tag_datetimes_normalized_df(transcripts: DataFrame,
+                                context_year: int,
+                                text_col: str = "text") -> DataFrame:
+    """tag_datetimes_df + the DateParserLogic normalization half
+    (textproc/date_logic.py): every DATETIME mention carries typed
+    (year, month, day, hour, minute, second, tz) fields, nulls where the
+    format has no such part.  Same shuffle-free single Arrow pass — the
+    parse is a per-mention dict dispatch, negligible next to the 42-regex
+    scan.  ``context_year`` pins two-digit-year folding so results are
+    deterministic (the reference uses the wall clock:
+    DateParserLogic.java:573-582)."""
+    from palladian_spark.operators.mentions import ensure_map_parallelism
+    transcripts = ensure_map_parallelism(transcripts)
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from palladian_spark.textproc.date_logic import parse_date
+        from palladian_spark.textproc.dates import find_date_formats
+        cols = ["conv_id", "turn_idx", "value", "fmt", "m_start",
+                "year", "month", "day", "hour", "minute", "second", "tz"]
+        for pdf in it:
+            out = {c: [] for c in cols}
+            for conv_id, turn_idx, text in zip(
+                    pdf["conv_id"], pdf["turn_idx"], pdf[text_col]):
+                for value, fmt, idx in find_date_formats(text or ""):
+                    parts = parse_date(value, fmt, context_year)
+                    out["conv_id"].append(conv_id)
+                    out["turn_idx"].append(int(turn_idx))
+                    out["value"].append(value)
+                    out["fmt"].append(fmt)
+                    out["m_start"].append(idx)
+                    for f in ("year", "month", "day", "hour", "minute",
+                              "second"):
+                        out[f].append(None if parts is None
+                                      else getattr(parts, f))
+                    out["tz"].append(None if parts is None
+                                     else parts.timezone)
+            yield pd.DataFrame(
+                {c: pd.array(out[c], dtype="Int32") if c in
+                 ("year", "month", "day", "hour", "minute", "second")
+                 else out[c] for c in cols})
+
+    return (transcripts
+            .select("conv_id", "turn_idx", text_col)
+            .mapInPandas(run, DATES_NORM_SCHEMA))

@@ -104,3 +104,78 @@ def test_all_occurrences_annotated():
 
 def test_format_count_is_contractual():
     assert len(ALL_DATE_FORMATS) == 41  # 6 RFC + 9 time + 11 + 11 + 4
+
+
+# ---------------------------------------------------------------------------
+# DateParserLogic normalization (round 3 — textproc/date_logic.py)
+# ---------------------------------------------------------------------------
+
+def test_normalize_two_digit_years():
+    # get4DigitYear (DateParserLogic.java:573-582): century folds around
+    # the context year — above the context's YY → 1900s, at/below → 2000s
+    from palladian_spark.textproc.date_logic import parse_date
+    assert parse_date("11/23/99", "MM/DD/YYYY", 2026)[:3] == (1999, 11, 23)
+    assert parse_date("11/23/'99", "MM/DD/YYYY", 2026)[:3] == (1999, 11, 23)
+    assert parse_date("5/12/07", "MM/DD/YYYY", 2026)[:3] == (2007, 5, 12)
+    assert parse_date("5/12/26", "MM/DD/YYYY", 2026)[:3] == (2026, 5, 12)
+    assert parse_date("5/12/27", "MM/DD/YYYY", 2026)[:3] == (1927, 5, 12)
+    # context-dependence: same string, different wall-clock year
+    assert parse_date("1.2.15", "DD.MM.YYYY", 2010)[:3] == (1915, 2, 1)
+    assert parse_date("1.2.15", "DD.MM.YYYY", 2020)[:3] == (2015, 2, 1)
+
+
+def test_normalize_month_names():
+    # DateHelper.monthNameToNumber (DateHelper.java:117-151): English and
+    # German names, short and long, case-cleaned
+    from palladian_spark.textproc.date_logic import parse_date
+    assert parse_date("November 23, 2014", "MMMM DD, YYYY", 2026)[:3] \
+        == (2014, 11, 23)
+    assert parse_date("23. Dezember 2014", "DD. MMMM YYYY", 2026)[:3] \
+        == (2014, 12, 23)
+    assert parse_date("June 2014", "MMMM YYYY", 2026)[:3] == (2014, 6, None)
+    assert parse_date("2014-Sep-02", "YYYY-MMM-D", 2026)[:3] == (2014, 9, 2)
+    assert parse_date("Aug-14-2013", "MMMM-DD-YYYY", 2026)[:3] \
+        == (2013, 8, 14)
+    assert parse_date("3rd June", "DD.MMMM", 2026)[:3] == (None, 6, 3)
+
+
+def test_normalize_times_and_zones():
+    from palladian_spark.textproc.date_logic import parse_date
+    # RFC-1123 with timezone split (splitTimeZone:666-677)
+    p = parse_date("Tue, 02 Sep 2014 10:27:00 GMT",
+                   "WD, DD MMM YYYY HH:MM:SS TZ", 2026)
+    assert p == (2014, 9, 2, 10, 27, 0, "GMT")
+    # ISO with UTC diff: '+02:00' means local, normalized BACKWARD
+    # (setTimeDiff:464-504 subtracts for '+')
+    p = parse_date("2014-09-02T10:27:00+02:00",
+                   "YYYY-MM-DDTHH:MM:SS+HH:MM", 2026)
+    assert (p.hour, p.minute, p.day) == (8, 27, 2)
+    # diff rolling over midnight moves the date (lenient calendar)
+    p = parse_date("2014-09-02T01:00:00+02:00",
+                   "YYYY-MM-DDTHH:MM:SS+HH:MM", 2026)
+    assert (p.day, p.hour) == (1, 23)
+    # PM → 24h (set24h:330-341)
+    p = parse_date("12/23/2014 10:27 PM", "MM/DD/YYYY HH:MM:SS +UTC", 2026)
+    assert (p.hour, p.minute) == (22, 27)
+    p = parse_date("12/23/2014 12:05 AM", "MM/DD/YYYY HH:MM:SS +UTC", 2026)
+    assert p.hour == 0
+
+
+def test_normalize_week_and_day_of_year():
+    from palladian_spark.textproc.date_logic import parse_date
+    # Java Calendar.DAY_OF_WEEK is 1=Sunday..7=Saturday; the reference
+    # feeds the ISO digit straight in, landing one weekday EARLIER than
+    # ISO (reproduced bit-for-bit; see date_logic module notes)
+    assert parse_date("2010-W07-5", "YYYY-WW-D", 2026)[:3] == (2010, 2, 18)
+    assert parse_date("2010-W07-1", "YYYY-WW-D", 2026)[:3] == (2010, 2, 21)
+    # no day → Monday of the ISO week
+    assert parse_date("2010-W07", "YYYY-WW", 2026)[:3] == (2010, 2, None)
+    assert parse_date("2014-234", "YYYY-DDD", 2026)[:3] == (2014, 8, 22)
+    assert parse_date("2014234", "YYYYDDD", 2026)[:3] == (2014, 8, 22)
+    assert parse_date("20140902", "YYYYMMDD", 2026)[:3] == (2014, 9, 2)
+
+
+def test_normalize_defensive_none():
+    from palladian_spark.textproc.date_logic import parse_date
+    assert parse_date("not a date", "MM/DD/YYYY", 2026) is None
+    assert parse_date("2014", "NO SUCH FORMAT", 2026) is None
