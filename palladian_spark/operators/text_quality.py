@@ -57,11 +57,20 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
         best_score.cast("int").alias("marker_hits"))
 
 
+def _derive_min_count(n_train_docs: int) -> int:
+    """Size-derived pruning default: grams seen in < ~0.001% of documents
+    never reach the broadcast model.  1 (exact, unpruned) below 200k
+    docs, then linear — at 10⁹ docs only grams with ≥ 5000 occurrences
+    survive, keeping the model driver-sized on open-vocabulary corpora."""
+    return max(1, n_train_docs // 200_000)
+
+
 def language_id_clf(docs: DataFrame, train_docs: DataFrame | None = None,
                     id_col: str = "doc_id", text_col: str = "text",
                     lang_col: str = "lang", ngram_n: int = 4,
                     round_decimals: int = 4,
-                    min_count: int = 1) -> DataFrame:
+                    min_count: int | None = None,
+                    max_model_terms: int = 2_000_000) -> DataFrame:
     """Dictionary-classifier language ID — the faithful reference upgrade
     over the marker heuristic (Palladian routes language detection through
     its text classifier with char-profile features; same DefaultScorer
@@ -71,6 +80,13 @@ def language_id_clf(docs: DataFrame, train_docs: DataFrame | None = None,
     (self-profile mode, as used by the contract query).  Fully relational:
     char n-grams JVM-side → broadcast dictionary join → per-doc agg →
     normalized argmax; no Python anywhere.
+
+    The model is driver-collected, so its size is bounded by DEFAULT:
+    ``min_count=None`` derives the pruning threshold from the training
+    corpus size (_derive_min_count — 1 on small corpora, so small-scale
+    results are exact and oracle-stable), and ``max_model_terms`` is a
+    hard cap that fails loudly (naming the lever) instead of silently
+    collecting an unbounded vocabulary onto the driver.
     """
     from palladian_spark.classification.dictionary import (
         CHAR_NGRAMS, FeatureSetting)
@@ -95,6 +111,8 @@ def language_id_clf(docs: DataFrame, train_docs: DataFrame | None = None,
 
     docs = _spread(docs)
     train = _spread(train_docs) if train_docs is not None else docs
+    if min_count is None:
+        min_count = _derive_min_count(train.count())
     # maxTerms effectively unbounded: a language profile wants the whole
     # document's gram set, and the SQL oracle's plain DISTINCT then
     # matches first-seen-distinct exactly
@@ -107,11 +125,17 @@ def language_id_clf(docs: DataFrame, train_docs: DataFrame | None = None,
     p = category_priors_df(train, lang_col)
     # materialize the MODEL once: classify_df's plan references it from
     # several actions — without this every action re-runs the training
-    # aggregation over the corpus.  The collect is model-sized only when
-    # the vocabulary is bounded: on a large multilingual corpus raise
-    # ``min_count`` (the size lever build_dictionary_df already supports)
-    # so rare grams never reach the driver.
-    d = spark.createDataFrame(d.collect(), d.schema)
+    # aggregation over the corpus.  limit(cap+1) bounds what can ever
+    # reach the driver in ONE action: on success the fetched rows ARE the
+    # model; on violation we fail naming the lever instead of OOMing.
+    model_rows = d.limit(max_model_terms + 1).collect()
+    if len(model_rows) > max_model_terms:
+        raise ValueError(
+            f"language_id_clf: dictionary exceeds max_model_terms="
+            f"{max_model_terms} at min_count={min_count} — raise "
+            "min_count (prune rare grams) or max_model_terms (accept a "
+            "bigger broadcast model).")
+    d = spark.createDataFrame(model_rows, d.schema)
     p = spark.createDataFrame(p.collect(), p.schema)
     return (classify_df(docs.select(id_col, text_col), d, p, [id_col],
                         text_col, setting, round_decimals)

@@ -196,3 +196,26 @@ def test_classify_bayes_df_matches_python(spark):
            for r in classify_bayes_df(docs, d, pr, ["doc_id"],
                                       round_decimals=6).collect()}
     assert got == expected
+
+
+def test_language_id_model_size_is_bounded_by_default():
+    # the safe path must be the DEFAULT path: min_count derives from the
+    # corpus size, so an open-vocabulary corpus cannot collect an
+    # unbounded model without someone explicitly asking for it
+    from palladian_spark.operators.text_quality import _derive_min_count
+    assert _derive_min_count(500) == 1          # small corpora stay exact
+    assert _derive_min_count(199_999) == 1
+    assert _derive_min_count(400_000) == 2
+    assert _derive_min_count(1_000_000_000) == 5000
+
+
+def test_language_id_hard_cap_fails_loudly(spark):
+    import pytest
+    from palladian_spark.operators.text_quality import language_id_clf
+    # 40 docs of distinct text → well over 30 distinct 4-grams; a cap of
+    # 30 must refuse to collect rather than truncate silently
+    docs = spark.createDataFrame(
+        [(i, f"unique text body number {i} with words", "en")
+         for i in range(40)], "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="max_model_terms"):
+        language_id_clf(docs, max_model_terms=30).collect()
