@@ -20,7 +20,7 @@ from typing import Iterator, List, NamedTuple, Optional, Sequence
 import pandas as pd
 import regex
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import (
     DoubleType, IntegerType, StringType, StructField, StructType,
 )
@@ -310,13 +310,28 @@ def induce_patterns(mined: DataFrame, min_count: int = 2,
 
 
 def cooccurrence_document_pairs(mentions: DataFrame,
-                                doc_cols: tuple = ("conv_id",)) -> DataFrame:
+                                doc_cols: tuple = ("conv_id",),
+                                max_doc_vocab: int | None = None) -> DataFrame:
     """DOCUMENT-scope co-occurrence (CoOccurrenceRetriever.java:27-60's
     DOCUMENT context, document = conversation): distinct per-document
     mention values self-joined per document, counted per unordered pair
     (left_value < right_value).  The distinct shrinks the join input to
-    the per-document entity vocabulary before the shuffle."""
+    the per-document entity vocabulary before the shuffle.
+
+    SKEW NOTE: pair output is O(vocab²) per document — one pathological
+    conversation mentioning 10⁵ distinct entities produces 10¹⁰ pairs in
+    one join partition.  ``max_doc_vocab`` caps the per-document
+    vocabulary (keeping the lexicographically-first values, so the cap is
+    deterministic and engine-replayable); None (default) keeps the exact
+    reference semantics.  AQE's skew-join split does NOT help here — the
+    blowup is in the join OUTPUT of a single key, not the probe side — so
+    cap at ingest when documents are untrusted."""
     e = mentions.select(*doc_cols, "value", "tag").distinct()
+    if max_doc_vocab is not None:
+        w = Window.partitionBy(*[F.col(c) for c in doc_cols]) \
+            .orderBy("value", "tag")
+        e = (e.withColumn("_vrn", F.row_number().over(w))
+             .where(F.col("_vrn") <= max_doc_vocab).drop("_vrn"))
     a, b = e.alias("a"), e.alias("b")
     cond = F.col("a.value") < F.col("b.value")
     for c in doc_cols:

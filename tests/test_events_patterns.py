@@ -92,3 +92,21 @@ def test_lsh_ann_recall_vs_exact(spark):
     assert len(approx) > 0.8 * len(exact)
     hits = sum(1 for a, b in approx.items() if exact.get(a) == b)
     assert hits / len(approx) > 0.5
+
+
+def test_cooccurrence_document_vocab_cap(spark):
+    # O(vocab²)-per-document skew guard: max_doc_vocab keeps the
+    # lexicographically-first values deterministically; default = exact
+    from palladian_spark.relations import cooccurrence_document_pairs
+    rows = ([("c1", v, "T") for v in ("a", "b", "c", "d", "e")]
+            + [("c2", v, "T") for v in ("a", "b")])
+    m = spark.createDataFrame(rows, "conv_id string, value string, tag string")
+    full = cooccurrence_document_pairs(m).collect()
+    # C(5,2)=10 pair keys from c1; c2's (a,b) merges into c1's, n=2
+    assert len(full) == 10
+    assert {(r["left_value"], r["right_value"]): r["n"]
+            for r in full}[("a", "b")] == 2
+    capped = cooccurrence_document_pairs(m, max_doc_vocab=3).collect()
+    # c1 keeps {a,b,c} → 3 pairs; c2 keeps {a,b} → merges into (a,b) n=2
+    got = {(r["left_value"], r["right_value"]): r["n"] for r in capped}
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
