@@ -186,3 +186,38 @@ def test_pattern_induction_loop(spark):
     assert rows, "induced patterns extracted no triples"
     # every triple's predicate comes from the induced set
     assert {r["pred"] for r in rows} <= preds
+
+
+def test_pattern_precision_filter_drops_planted_noise(spark):
+    """Induction self-curation (round 3): a planted noisy pattern that
+    fires on real mention pairs but never matches gold is filtered; the
+    precise induced patterns survive."""
+    from palladian_spark.pipeline import default_model
+    from palladian_spark.relations import (
+        filter_patterns_by_precision, induce_patterns, mine_patterns_df,
+        pattern)
+    from palladian_spark.data.transcripts import synthetic_transcripts_pdf
+
+    tp, gold_pdf = synthetic_transcripts_pdf(n_convs=6, turns_per_conv=4)
+    t = spark.createDataFrame(tp)
+    gold = spark.createDataFrame(gold_pdf)
+    model = default_model()
+
+    mined = mine_patterns_df(t, model, min_count=2)
+    induced = induce_patterns(mined, min_count=2, max_patterns=10)
+    assert induced
+    # noisy pattern: fires on ANY inter-mention window (catch-all), so it
+    # pairs mentions that gold never relates — precision ≈ low
+    from palladian_spark.relations import extract_triples
+    noisy = pattern("noise_rel", r"(?i).*")
+    # the noise must actually FIRE — otherwise the filter drops it for
+    # zero support and the test proves nothing about precision
+    assert extract_triples(t, model, patterns=[noisy]).count() > 0
+    candidates = induced + [noisy]
+
+    kept = filter_patterns_by_precision(t, model, candidates, gold,
+                                        min_precision=0.8)
+    kept_preds = {p.pred for p in kept}
+    assert "noise_rel" not in kept_preds, "planted noise survived"
+    assert kept_preds, "precision filter killed every pattern"
+    assert kept_preds <= {p.pred for p in induced}
