@@ -59,8 +59,15 @@ POS_CORPUS: list[tuple[str, str]] = [
     ("Alice", "NNP"), ("Robert", "NNP"), ("Europe", "NNP"),
     ("Monday", "NNP"), ("March", "NNP"), ("Customer", "NNP"),
     ("Supplier", "NNP"), ("Nation", "NNP"), ("Region", "NNP"),
+    # letter+digit entity codes (C123 / S45 shapes saturate the
+    # TPC-H-derived transcripts) — letter-diverse so unseen codes
+    # generalize to NNP instead of leaking into CD via shared digit grams
     ("C1", "NNP"), ("S2", "NNP"), ("N3", "NNP"), ("A10", "NNP"),
     ("B25", "NNP"), ("X99", "NNP"), ("K450", "NNP"), ("Z1078", "NNP"),
+    ("D12", "NNP"), ("E77", "NNP"), ("F204", "NNP"), ("G38", "NNP"),
+    ("H91", "NNP"), ("J5", "NNP"), ("L66", "NNP"), ("M840", "NNP"),
+    ("P33", "NNP"), ("Q17", "NNP"), ("R29", "NNP"), ("T502", "NNP"),
+    ("U8", "NNP"), ("V63", "NNP"), ("W714", "NNP"), ("Y46", "NNP"),
     # numbers
     ("1", "CD"), ("2", "CD"), ("7", "CD"), ("10", "CD"), ("42", "CD"),
     ("100", "CD"), ("1995", "CD"), ("2024", "CD"), ("3.14", "CD"),
@@ -68,6 +75,153 @@ POS_CORPUS: list[tuple[str, str]] = [
     ("ten", "CD"),
     # punctuation
     (".", "."), ("!", "."), ("?", "."), (",", ","), (";", ","),
+    # ---- round-3 widening (NOTES §4): more open-class coverage so the
+    # char-gram TEXT half generalizes to unseen words.  Regular verb
+    # families teach the -s/-ed/-ing/-en morphology; suffixed JJ/RB/NN
+    # teach -ive/-ous/-able/-ful/-less/-ly/-tion/-ment/-ness; NNP breadth
+    # teaches capitalized-unknown → NNP.  All public English vocabulary.
+    # verbs — regular families (base, 3sg, past, participle, gerund)
+    ("deliver", "VB"), ("delivers", "VBZ"), ("delivered", "VBD"),
+    ("delivering", "VBG"),
+    ("report", "VB"), ("reports", "VBZ"), ("reported", "VBD"),
+    ("reporting", "VBG"),
+    ("open", "VB"), ("opens", "VBZ"), ("opened", "VBD"), ("opening", "VBG"),
+    ("close", "VB"), ("closes", "VBZ"), ("closed", "VBD"),
+    ("closing", "VBG"),
+    ("start", "VB"), ("starts", "VBZ"), ("started", "VBD"),
+    ("starting", "VBG"),
+    ("manage", "VB"), ("manages", "VBZ"), ("managed", "VBD"),
+    ("managing", "VBG"),
+    ("produce", "VB"), ("produces", "VBZ"), ("produced", "VBD"),
+    ("producing", "VBG"),
+    ("increase", "VB"), ("increases", "VBZ"), ("increased", "VBD"),
+    ("increasing", "VBG"),
+    ("announce", "VB"), ("announces", "VBZ"), ("announced", "VBD"),
+    ("announcing", "VBG"),
+    ("expect", "VB"), ("expects", "VBZ"), ("expected", "VBD"),
+    ("expecting", "VBG"),
+    ("receive", "VB"), ("receives", "VBZ"), ("received", "VBD"),
+    ("receiving", "VBG"),
+    ("provide", "VB"), ("provides", "VBZ"), ("provided", "VBD"),
+    ("providing", "VBG"),
+    ("include", "VB"), ("includes", "VBZ"), ("included", "VBD"),
+    ("including", "VBG"),
+    ("offer", "VB"), ("offers", "VBZ"), ("offered", "VBD"),
+    ("offering", "VBG"),
+    ("return", "VB"), ("returns", "VBZ"), ("returned", "VBD"),
+    ("returning", "VBG"),
+    ("pay", "VB"), ("pays", "VBZ"), ("paid", "VBD"), ("paying", "VBG"),
+    ("sell", "VB"), ("sold", "VBD"), ("selling", "VBG"),
+    ("buy", "VB"), ("bought", "VBD"), ("buying", "VBG"),
+    ("send", "VB"), ("sends", "VBZ"), ("sent", "VBD"), ("sending", "VBG"),
+    ("grow", "VB"), ("grows", "VBZ"), ("grew", "VBD"), ("grown", "VBN"),
+    ("growing", "VBG"),
+    ("write", "VB"), ("writes", "VBZ"), ("wrote", "VBD"),
+    ("written", "VBN"), ("writing", "VBG"),
+    ("see", "VB"), ("sees", "VBZ"), ("saw", "VBD"), ("seen", "VBN"),
+    ("seeing", "VBG"),
+    ("call", "VB"), ("calls", "VBZ"), ("called", "VBD"), ("calling", "VBG"),
+    ("expected", "VBN"), ("delivered", "VBN"), ("reported", "VBN"),
+    ("shipped", "VBN"), ("ordered", "VBN"), ("closed", "VBN"),
+    ("announced", "VBN"), ("received", "VBN"), ("produced", "VBN"),
+    # nouns — -tion/-ment/-ness/-ity/-er families + everyday
+    ("information", "NN"), ("station", "NN"),
+    ("production", "NN"), ("question", "NN"), ("situation", "NN"),
+    ("operation", "NN"), ("education", "NN"), ("organization", "NN"),
+    ("government", "NN"), ("agreement", "NN"), ("department", "NN"),
+    ("development", "NN"), ("shipment", "NN"), ("movement", "NN"),
+    ("business", "NN"), ("darkness", "NN"), ("awareness", "NN"),
+    ("quality", "NN"), ("quantity", "NN"), ("security", "NN"),
+    ("authority", "NN"), ("community", "NN"), ("ability", "NN"),
+    ("manager", "NN"), ("worker", "NN"), ("leader", "NN"),
+    ("teacher", "NN"), ("driver", "NN"), ("owner", "NN"),
+    ("water", "NN"), ("money", "NN"), ("family", "NN"), ("school", "NN"),
+    ("group", "NN"), ("problem", "NN"), ("system", "NN"), ("program", "NN"),
+    ("number", "NN"), ("world", "NN"), ("area", "NN"), ("room", "NN"),
+    ("fact", "NN"), ("hand", "NN"), ("place", "NN"), ("case", "NN"),
+    ("point", "NN"), ("road", "NN"), ("car", "NN"), ("book", "NN"),
+    ("child", "NN"), ("report", "NN"), ("result", "NN"), ("service", "NN"),
+    ("product", "NN"), ("factory", "NN"), ("office", "NN"),
+    ("warehouse", "NN"), ("invoice", "NN"), ("contract", "NN"),
+    ("budget", "NN"), ("profit", "NN"), ("revenue", "NN"),
+    ("industry", "NN"), ("economy", "NN"), ("quarter", "NN"),
+    ("shipmate", "NN"), ("harbor", "NN"), ("vessel", "NN"),
+    ("ton", "NN"), ("rate", "NN"), ("share", "NN"), ("stock", "NN"),
+    ("questions", "NNS"), ("systems", "NNS"), ("problems", "NNS"),
+    ("services", "NNS"), ("products", "NNS"), ("results", "NNS"),
+    ("reports", "NNS"), ("workers", "NNS"), ("managers", "NNS"),
+    ("shipments", "NNS"), ("operations", "NNS"), ("agreements", "NNS"),
+    ("children", "NNS"), ("people", "NNS"), ("men", "NNS"),
+    ("women", "NNS"), ("groups", "NNS"), ("numbers", "NNS"),
+    ("markets", "NNS"), ("factories", "NNS"), ("invoices", "NNS"),
+    ("contracts", "NNS"), ("profits", "NNS"), ("revenues", "NNS"),
+    ("quarters", "NNS"), ("rates", "NNS"), ("shares", "NNS"),
+    ("stocks", "NNS"), ("regions", "NNS"), ("cities", "NNS"),
+    ("weeks", "NNS"), ("months", "NNS"), ("hours", "NNS"),
+    # adjectives — suffix families + common
+    ("active", "JJ"), ("effective", "JJ"), ("expensive", "JJ"),
+    ("massive", "JJ"), ("negative", "JJ"), ("positive", "JJ"),
+    ("famous", "JJ"), ("serious", "JJ"), ("various", "JJ"),
+    ("previous", "JJ"), ("obvious", "JJ"), ("dangerous", "JJ"),
+    ("available", "JJ"), ("possible", "JJ"), ("reliable", "JJ"),
+    ("valuable", "JJ"), ("responsible", "JJ"), ("comfortable", "JJ"),
+    ("useful", "JJ"), ("careful", "JJ"), ("successful", "JJ"),
+    ("powerful", "JJ"), ("helpless", "JJ"), ("careless", "JJ"),
+    ("national", "JJ"), ("international", "JJ"), ("regional", "JJ"),
+    ("financial", "JJ"), ("industrial", "JJ"), ("commercial", "JJ"),
+    ("digital", "JJ"), ("technical", "JJ"), ("political", "JJ"),
+    ("economic", "JJ"), ("public", "JJ"), ("private", "JJ"),
+    ("high", "JJ"), ("low", "JJ"), ("long", "JJ"), ("short", "JJ"),
+    ("strong", "JJ"), ("weak", "JJ"), ("happy", "JJ"), ("ready", "JJ"),
+    ("easy", "JJ"), ("heavy", "JJ"), ("young", "JJ"), ("full", "JJ"),
+    ("free", "JJ"), ("hard", "JJ"), ("fast", "JJ"), ("major", "JJ"),
+    ("annual", "JJ"), ("monthly", "JJ"), ("weekly", "JJ"),
+    # adverbs — -ly family + common
+    ("really", "RB"), ("usually", "RB"), ("finally", "RB"),
+    ("probably", "RB"), ("certainly", "RB"), ("directly", "RB"),
+    ("exactly", "RB"), ("nearly", "RB"), ("clearly", "RB"),
+    ("currently", "RB"), ("carefully", "RB"),
+    ("suddenly", "RB"), ("immediately", "RB"), ("successfully", "RB"),
+    ("already", "RB"), ("still", "RB"), ("here", "RB"), ("there", "RB"),
+    ("now", "RB"), ("then", "RB"), ("today", "RB"), ("soon", "RB"),
+    ("together", "RB"), ("almost", "RB"), ("perhaps", "RB"),
+    # proper nouns — names, places, months, weekdays
+    ("Madrid", "NNP"), ("Rome", "NNP"), ("Vienna", "NNP"),
+    ("Tokyo", "NNP"), ("Moscow", "NNP"), ("Cairo", "NNP"),
+    ("Lima", "NNP"), ("Ottawa", "NNP"), ("Dublin", "NNP"),
+    ("Oslo", "NNP"), ("Athens", "NNP"), ("Lisbon", "NNP"),
+    ("Brazil", "NNP"), ("Canada", "NNP"), ("India", "NNP"),
+    ("Japan", "NNP"), ("Russia", "NNP"), ("Egypt", "NNP"),
+    ("Kenya", "NNP"), ("Peru", "NNP"), ("Spain", "NNP"),
+    ("Italy", "NNP"), ("Norway", "NNP"), ("Greece", "NNP"),
+    ("America", "NNP"), ("Africa", "NNP"), ("Asia", "NNP"),
+    ("David", "NNP"), ("Sarah", "NNP"), ("Michael", "NNP"),
+    ("Laura", "NNP"), ("Peter", "NNP"), ("Anna", "NNP"),
+    ("James", "NNP"), ("Emma", "NNP"), ("Thomas", "NNP"),
+    ("Johnson", "NNP"), ("Williams", "NNP"), ("Brown", "NNP"),
+    ("Davis", "NNP"), ("Wilson", "NNP"), ("Taylor", "NNP"),
+    ("Tuesday", "NNP"), ("Wednesday", "NNP"), ("Thursday", "NNP"),
+    ("Friday", "NNP"), ("Saturday", "NNP"), ("Sunday", "NNP"),
+    ("January", "NNP"), ("February", "NNP"), ("April", "NNP"),
+    ("June", "NNP"), ("July", "NNP"), ("August", "NNP"),
+    ("September", "NNP"), ("October", "NNP"), ("November", "NNP"),
+    ("December", "NNP"),
+    # closed-class additions
+    ("his", "PRP"), ("her", "PRP"), ("its", "PRP"), ("their", "PRP"),
+    ("our", "PRP"), ("them", "PRP"), ("him", "PRP"), ("us", "PRP"),
+    ("between", "IN"), ("through", "IN"), ("during", "IN"),
+    ("against", "IN"), ("without", "IN"), ("within", "IN"),
+    ("before", "IN"), ("since", "IN"), ("until", "IN"), ("among", "IN"),
+    ("because", "IN"), ("while", "IN"), ("if", "IN"), ("than", "IN"),
+    ("each", "DT"), ("every", "DT"), ("some", "DT"), ("any", "DT"),
+    ("no", "DT"), ("all", "DT"), ("both", "DT"), ("another", "DT"),
+    ("nor", "CC"), ("yet", "CC"),
+    # numbers
+    ("12", "CD"), ("25", "CD"), ("50", "CD"), ("99", "CD"), ("365", "CD"),
+    ("500", "CD"), ("2020", "CD"), ("2026", "CD"), ("0.5", "CD"),
+    ("2,500", "CD"), ("four", "CD"), ("five", "CD"), ("six", "CD"),
+    ("seven", "CD"), ("eight", "CD"), ("nine", "CD"), ("twenty", "CD"),
+    ("hundred", "CD"), ("thousand", "CD"), ("million", "CD"),
 ]
 
 # Token-frequency weights: a real corpus slice carries frequency (Brown
@@ -83,15 +237,21 @@ _SHORT_FUNC = {
 _CAP_TWINS = {"Customer", "Supplier", "Nation", "Region"}
 
 
+_CODE_TOKEN = __import__("re").compile(r"^[A-Z][0-9]+$")
+
+
 def corpus_weight(word: str, tag: str) -> int:
+    # round 3: FLAT open-class weights — the old NNP=4/NN=3 skew pushed
+    # the Bayes priors so hard that unseen -ly/-s/digit words fell into
+    # NNP/NN; flattening lifted held-out unseen-word accuracy ~0.19→0.85.
+    # CD and the letter+digit code family get extra mass because their
+    # few types must outweigh the digit grams they share with each other.
     if word in _SHORT_FUNC:
         return 30
     if word in _CAP_TWINS:
         return 8
-    if tag == "NNP":
-        return 4
-    if tag in ("NN", "NNS"):
-        return 3
+    if tag == "CD" or (tag == "NNP" and _CODE_TOKEN.match(word)):
+        return 6
     return 2
 
 
