@@ -41,7 +41,9 @@ class FeatureSetting:
     feature_type: str = CHAR_NGRAMS
     min_n: int = 4
     max_n: int = 7
-    max_terms: int = 800
+    # None = uncapped (language profiles): downstream plans then use a
+    # plain distinct with no first-seen ordering machinery at all
+    max_terms: Optional[int] = 800
     case_sensitive: bool = False
     character_padding: bool = False
     min_term_length: int = 3
@@ -100,7 +102,8 @@ def document_terms(text: str, setting: FeatureSetting) -> List[str]:
     for term in extract_terms(text, setting):
         if term not in seen:
             seen[term] = None
-            if len(seen) >= setting.max_terms:
+            if setting.max_terms is not None \
+                    and len(seen) >= setting.max_terms:
                 break
     return list(seen)
 
@@ -112,7 +115,7 @@ def document_term_counts(text: str, setting: FeatureSetting) -> Dict[str, int]:
     for term in extract_terms(text, setting):
         # the reference stops the whole iteration once maxTerms distinct
         # terms have been seen (even for repeats of known terms)
-        if len(counts) >= setting.max_terms:
+        if setting.max_terms is not None and len(counts) >= setting.max_terms:
             break
         counts[term] += 1
     return dict(counts)

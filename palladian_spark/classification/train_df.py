@@ -42,7 +42,14 @@ def word_terms_col(text_col, setting: FeatureSetting):
     toks = F.regexp_extract_all(source, F.lit(f"(?is)({TOKEN_SPLIT_REGEX})"), 1)
     kept = F.filter(toks, lambda t: (F.length(t) >= setting.min_term_length)
                     & (F.length(t) <= setting.max_term_length))
-    return F.slice(F.array_distinct(kept), 1, setting.max_terms)
+    return _cap_terms(F.array_distinct(kept), setting)
+
+
+def _cap_terms(distinct_terms, setting: FeatureSetting):
+    """First-seen maxTerms cap; identity when uncapped (None)."""
+    if setting.max_terms is None:
+        return distinct_terms
+    return F.slice(distinct_terms, 1, setting.max_terms)
 
 
 def char_terms_col(text_col, setting: FeatureSetting):
@@ -84,7 +91,7 @@ def char_terms_col(text_col, setting: FeatureSetting):
     if setting.character_padding:
         grams = F.filter(
             grams, lambda g: g.rlike("[^#]"))  # drop all-padding grams
-    return F.slice(F.array_distinct(grams), 1, setting.max_terms)
+    return _cap_terms(F.array_distinct(grams), setting)
 
 
 def terms_col(text_col, setting: FeatureSetting):
@@ -115,18 +122,32 @@ def _char_terms_rows(docs: DataFrame, text_col: str,
     if setting.character_padding:
         pad = "#" * (setting.max_n - 1)
         source = F.concat(F.lit(pad), source, F.lit(pad))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(source) - (n - 1),
+    src_df = docs.select(*keys, source.alias("_src"))
+    idx = F.sequence(F.lit(1), F.greatest(F.length("_src") - (n - 1),
                                           F.lit(1)))
-    rows = (docs
-            .select(*keys, source.alias("_src"), F.explode(idx).alias("_i"))
-            .select(*keys, F.col("_src").substr(F.col("_i"), F.lit(n))
-                    .alias("term"), "_i")
-            .where(F.length("term") == n))
-    if setting.character_padding:
-        rows = rows.where(F.col("term") != "#" * n)
-    # per-document distinct, first-seen order = min offset (single n ⇒ no
-    # two distinct terms share an offset, so the order is total)
-    firsts = (rows.groupBy(*keys, "term")
+
+    def gram_rows(df):
+        rows = (df
+                .select(*keys, "_src", F.explode(idx).alias("_i"))
+                .select(*keys, F.col("_src").substr(F.col("_i"), F.lit(n))
+                        .alias("term"), "_i")
+                .where(F.length("term") == n))
+        if setting.character_padding:
+            rows = rows.where(F.col("term") != "#" * n)
+        return rows
+
+    # Uncapped (max_terms=None — the language-profile mode): only the
+    # term SET matters, so a plain distinct suffices.  That drops the
+    # min-offset agg AND the per-document sort window (a whole extra
+    # shuffle+sort over every gram row), and — just as important at
+    # small scale — roughly halves the plan that Janino has to compile:
+    # the one-time codegen of the capped plan was a measurable slice of a
+    # whole sf0.1 lang_id run.
+    if setting.max_terms is None:
+        return gram_rows(src_df).select(*keys, "term").distinct()
+    # capped: per-document distinct in first-seen order = min offset
+    # (single n ⇒ no two distinct terms share an offset ⇒ total order)
+    firsts = (gram_rows(src_df).groupBy(*keys, "term")
               .agg(F.min("_i").alias("_first")))
     w = Window.partitionBy(*keys).orderBy("_first")
     return (firsts

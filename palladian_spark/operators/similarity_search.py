@@ -418,8 +418,15 @@ def _lsh_bucketed(embeddings: DataFrame, n_planes, n_tables, seed,
     driver-sized (≤ N/cap entries) and broadcast into the payload pass.
     """
     spark = embeddings.sparkSession
+    n_rows = None
     if n_planes is None:
-        n_planes = _auto_planes(embeddings.count(), target_bucket_rows)
+        n_rows = embeddings.count()
+        n_planes = _auto_planes(n_rows, target_bucket_rows)
+    if (max_bucket_rows is not None and n_rows is not None
+            and n_rows <= max_bucket_rows):
+        # no bucket can exceed the cap when the whole table fits in it —
+        # skip the counting pre-pass (and its extra scan) outright
+        max_bucket_rows = None
     first = embeddings.select(vec_col).first()
     dim = len(first[vec_col])
     planes = _lsh_planes(seed, n_tables, n_planes, dim)
@@ -578,6 +585,10 @@ def ivf_top_k(embeddings: DataFrame, k: int = 1,
     if n_centroids is None:
         n_centroids = max(1, min(int(math.sqrt(n)), n))
     n_probe = min(n_probe, n_centroids)
+    if max_bucket_rows is not None and n * (1 + n_probe) <= max_bucket_rows:
+        # even the degenerate one-list case fits under the cap — skip the
+        # counting pre-pass and its extra assignment scan
+        max_bucket_rows = None
 
     src = embeddings.select(
         F.col(id_col).cast("long").alias("id"),

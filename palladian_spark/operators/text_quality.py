@@ -111,18 +111,22 @@ def language_id_clf(docs: DataFrame, train_docs: DataFrame | None = None,
 
     docs = _spread(docs)
     train = _spread(train_docs) if train_docs is not None else docs
-    if min_count is None:
-        min_count = _derive_min_count(train.count())
-    # maxTerms effectively unbounded: a language profile wants the whole
-    # document's gram set, and the SQL oracle's plain DISTINCT then
-    # matches first-seen-distinct exactly
+    # maxTerms=None (uncapped): a language profile wants the whole
+    # document's gram set; the relational plan is then a plain distinct —
+    # matching the SQL oracle's DISTINCT exactly — with no first-seen
+    # ordering machinery to execute or compile
     setting = FeatureSetting(CHAR_NGRAMS, ngram_n, ngram_n,
-                             max_terms=1_000_000)
+                             max_terms=None)
     spark = docs.sparkSession
+    # priors first: their collect is the training-doc count for free
+    # (num_documents sums to N), so deriving min_count costs no extra scan
+    prior_rows = category_priors_df(train, lang_col).collect()
+    if min_count is None:
+        n_train = int(sum(r["num_documents"] for r in prior_rows))
+        min_count = _derive_min_count(n_train)
     d = build_dictionary_df(train.select(F.col(lang_col), F.col(text_col)),
                             lang_col, text_col, setting,
                             min_count=min_count)
-    p = category_priors_df(train, lang_col)
     # materialize the MODEL once: classify_df's plan references it from
     # several actions — without this every action re-runs the training
     # aggregation over the corpus.  limit(cap+1) bounds what can ever
@@ -136,7 +140,8 @@ def language_id_clf(docs: DataFrame, train_docs: DataFrame | None = None,
             "min_count (prune rare grams) or max_model_terms (accept a "
             "bigger broadcast model).")
     d = spark.createDataFrame(model_rows, d.schema)
-    p = spark.createDataFrame(p.collect(), p.schema)
+    p = spark.createDataFrame(
+        prior_rows, category_priors_df(train, lang_col).schema)
     return (classify_df(docs.select(id_col, text_col), d, p, [id_col],
                         text_col, setting, round_decimals)
             .select(id_col, F.col("predicted").alias("lang_pred"),
