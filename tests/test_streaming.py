@@ -176,3 +176,72 @@ def test_stateful_conversation_stats_across_restarts(spark, workdir):
     for conv, (n1, c1) in first.items():
         n2, c2 = second[conv]
         assert n2 == 2 * n1 and c2 == 2 * c1, conv
+
+
+def test_stream_sessionize_event_time_timeout(spark, workdir):
+    """Event-time-timeout sessionizer (round 3): sessions close only when
+    the WATERMARK passes end + timeout, state (the open-island list)
+    survives a query restart on the same checkpoint, and the closed
+    sessions equal the batch gaps-and-islands operator's on the same
+    events."""
+    import pandas as pd
+    from palladian_spark.streaming.stateful import stream_sessionize
+
+    in_dir = str(workdir / "in")
+    ckpt = str(workdir / "ckpt")
+    t0 = pd.Timestamp("2026-01-01 08:00:00")
+    m = pd.Timedelta(minutes=1)
+
+    real = [  # (user, ts): A has two sessions (65-min gap), B one
+        ("A", t0), ("A", t0 + 5 * m), ("A", t0 + 10 * m),
+        ("A", t0 + 75 * m),
+        ("B", t0 + 2 * m),
+    ]
+
+    def write(rows):
+        spark.createDataFrame(pd.DataFrame(rows, columns=["user_id", "ts"])) \
+            .coalesce(1).write.mode("append").parquet(in_dir)
+
+    def drain():
+        out = []
+        stream = (spark.readStream.schema("user_id string, ts timestamp")
+                  .parquet(in_dir).withWatermark("ts", "1 minute"))
+        q = (stream_sessionize(stream, timeout_minutes=30)
+             .writeStream.foreachBatch(lambda df, _b: out.extend(df.collect()))
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return out
+
+    # batch 1: the real events + a probe far enough ahead that, once its
+    # event time becomes the watermark, every real session's end +
+    # timeout is behind it (availableNow may split files into several
+    # micro-batches, so some sessions can already close here)
+    write(real + [("zz", t0 + pd.Timedelta(hours=10))])
+    first = drain()
+    # nothing closes before the watermark has moved past end + timeout:
+    # every emitted session ends ≥ timeout+delay behind the probe
+    for r in first:
+        assert r["session_end_us"] <= (
+            (t0 + pd.Timedelta(hours=10)).timestamp() * 1e6
+            - 31 * 60 * 1e6)
+
+    # batch 2 (FRESH query, same checkpoint): the resumed state closes
+    # every remaining real session under the advanced watermark
+    write([("zz", t0 + pd.Timedelta(hours=20))])
+    second = drain()
+    closed = {(r["key"], r["session_start_us"], r["session_end_us"],
+               r["n_events"])
+              for r in first + second if r["key"] != "zz"}
+
+    # batch twin on the same events
+    from palladian_spark.operators.events import sessionize
+    batch = sessionize(
+        spark.createDataFrame(pd.DataFrame(real, columns=["user_id", "ts"])),
+        timeout_minutes=30, tiebreak_col=None)
+    want = {(r["user_id"],
+             r["session_start"].timestamp() * 1_000_000,
+             r["session_end"].timestamp() * 1_000_000,
+             r["n_events"]) for r in batch.collect()}
+    assert {(k, float(s), float(e), n) for k, s, e, n in closed} == want
