@@ -403,10 +403,14 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dictionary-classifier language ID (char-4-gram profile through the
     §2.4 DefaultScorer stack — the reference-faithful path; the marker
-    heuristic remains as text_quality.language_id for cheap triage)."""
+    heuristic remains as text_quality.language_id for cheap triage).
+    min_count is PINNED to 1 because the SQL oracle models an unpruned
+    dictionary: the production default (None) derives pruning from corpus
+    size, which would diverge from the oracle above ~200k training docs."""
     from palladian_spark.operators.text_quality import language_id_clf
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return language_id_clf(docs).select("doc_id", "lang_pred", "lang_prob")
+    return language_id_clf(docs, min_count=1) \
+        .select("doc_id", "lang_pred", "lang_prob")
 
 
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1079,7 +1083,9 @@ def _ann_lsh_oracle() -> str:
     planes = np.random.RandomState(42).randn(2, 24, 64)
     rows = ",\n".join(
         "  ({t}, {j}, CAST([{c}] AS DOUBLE[]))".format(
-            t=t, j=j, c=", ".join(repr(x) for x in planes[t, j]))
+            # repr(float(x)), NOT repr(x): numpy 2.x reprs scalars as
+            # 'np.float64(...)' (NEP 51), which is not SQL
+            t=t, j=j, c=", ".join(repr(float(x)) for x in planes[t, j]))
         for t in range(2) for j in range(24))
     return """
 WITH nplanes AS (

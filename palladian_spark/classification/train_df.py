@@ -325,11 +325,19 @@ def classify_df(docs: DataFrame, dictionary: DataFrame, priors: DataFrame,
     shape back.
     """
     setting = setting or FeatureSetting.words(1)
-    cats = sorted({r["category"]
-                   for r in dictionary.select("category").distinct()
-                   .collect()} |
-                  {r["category"]
-                   for r in priors.select("category").distinct().collect()})
+    # category list from the PRIORS only: priors are one row per category
+    # (tiny collect), while the dictionary may be an unmaterialized
+    # training plan whose .distinct() would re-run the whole corpus
+    # aggregation just to learn the names.  Both are built from the same
+    # labeled documents, so priors cover every dictionary category.
+    prior_rows = priors.collect()
+    cats = sorted({r["category"] for r in prior_rows})
+    if not cats:
+        # empty model (empty corpus / everything pruned): every doc gets
+        # the empty-prior fallback, same as the pre-pivot implementation
+        return docs.select(*id_cols,
+                           F.lit("").alias("predicted"),
+                           F.lit(0.0).alias("prob"))
     dict_scored = (dictionary
                    .withColumn("_dict_count",
                                F.sum("count").over(Window.partitionBy("term")))
@@ -367,12 +375,14 @@ def classify_df(docs: DataFrame, dictionary: DataFrame, priors: DataFrame,
     # unmatched docs → prior argmax (scorer.scoreCategory unmatched branch).
     # A left join + coalesce, NOT an anti-join + union: the anti-join form
     # embedded the whole scoring subtree twice in one plan, doubling the
-    # term-extraction work per action.
-    prior_total = priors.agg(F.sum("num_documents")).collect()[0][0] or 1.0
-    prior_best = (priors.orderBy(F.desc("num_documents"), F.asc("category"))
-                  .limit(1).collect())
-    fallback_cat = prior_best[0]["category"] if prior_best else ""
-    fallback_prob = (prior_best[0]["num_documents"] / prior_total
+    # term-extraction work per action.  Fallback values come from the
+    # already-collected prior rows — no extra Spark jobs.
+    prior_total = sum(r["num_documents"] for r in prior_rows) or 1.0
+    prior_best = (min(prior_rows,
+                      key=lambda r: (-r["num_documents"], r["category"]))
+                  if prior_rows else None)
+    fallback_cat = prior_best["category"] if prior_best else ""
+    fallback_prob = (prior_best["num_documents"] / prior_total
                      if prior_best else 0.0)
 
     out = (docs.select(*id_cols)

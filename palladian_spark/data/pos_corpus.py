@@ -237,7 +237,9 @@ _SHORT_FUNC = {
 _CAP_TWINS = {"Customer", "Supplier", "Nation", "Region"}
 
 
-_CODE_TOKEN = __import__("re").compile(r"^[A-Z][0-9]+$")
+import re as _re
+
+_CODE_TOKEN = _re.compile(r"^[A-Z][0-9]+$")
 
 
 def corpus_weight(word: str, tag: str) -> int:

@@ -29,7 +29,10 @@ def _exact_sum(col: str, decimals: int = 6):
     round-half boundary.  Casting each value to a decimal first makes the
     sum exact (decimal addition is associative/commutative), so the result
     is identical for any partitioning.  Scale 9 >> the data's precision, so
-    the per-row cast never changes a value's meaning.
+    the per-row cast never changes a value's meaning.  Range bound:
+    decimal(38,9) holds 29 integer digits — a |value| ≥ 1e29 would cast
+    to NULL and drop out of the sum (at that magnitude the double input
+    had no sub-integer precision left anyway).
     """
     return F.round(
         F.sum(F.col(col).cast("decimal(38,9)")).cast("double"), decimals)
@@ -112,9 +115,11 @@ def conversation_stats(transcripts: DataFrame) -> DataFrame:
                  # NOT F.avg: avg over an int column merges double partials,
                  # so the 4th decimal can flip with partition merge order at
                  # round-half boundaries.  Exact long sum + one final
-                 # division is deterministic for any partitioning.
+                 # division is deterministic for any partitioning; the
+                 # count("text") denominator keeps avg's null-skipping
+                 # semantics (sum(length) skips nulls too).
                  F.round(F.sum(F.length("text")).cast("double")
-                         / F.count(F.lit(1)), 4).alias("avg_chars")))
+                         / F.count("text"), 4).alias("avg_chars")))
 
 
 def user_activity(events: DataFrame) -> DataFrame:

@@ -422,11 +422,15 @@ def _lsh_bucketed(embeddings: DataFrame, n_planes, n_tables, seed,
     if n_planes is None:
         n_rows = embeddings.count()
         n_planes = _auto_planes(n_rows, target_bucket_rows)
-    if (max_bucket_rows is not None and n_rows is not None
-            and n_rows <= max_bucket_rows):
-        # no bucket can exceed the cap when the whole table fits in it —
-        # skip the counting pre-pass (and its extra scan) outright
-        max_bucket_rows = None
+    if max_bucket_rows is not None:
+        if n_rows is None:
+            # a count() is far cheaper than the signature pre-pass it may
+            # let us skip — take it for explicit-n_planes callers too
+            n_rows = embeddings.count()
+        if n_rows <= max_bucket_rows:
+            # no bucket can exceed the cap when the whole table fits in
+            # it — skip the counting pre-pass (and its extra scan)
+            max_bucket_rows = None
     first = embeddings.select(vec_col).first()
     dim = len(first[vec_col])
     planes = _lsh_planes(seed, n_tables, n_planes, dim)

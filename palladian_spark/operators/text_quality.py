@@ -120,7 +120,8 @@ def language_id_clf(docs: DataFrame, train_docs: DataFrame | None = None,
     spark = docs.sparkSession
     # priors first: their collect is the training-doc count for free
     # (num_documents sums to N), so deriving min_count costs no extra scan
-    prior_rows = category_priors_df(train, lang_col).collect()
+    priors_plan = category_priors_df(train, lang_col)
+    prior_rows = priors_plan.collect()
     if min_count is None:
         n_train = int(sum(r["num_documents"] for r in prior_rows))
         min_count = _derive_min_count(n_train)
@@ -140,8 +141,7 @@ def language_id_clf(docs: DataFrame, train_docs: DataFrame | None = None,
             "min_count (prune rare grams) or max_model_terms (accept a "
             "bigger broadcast model).")
     d = spark.createDataFrame(model_rows, d.schema)
-    p = spark.createDataFrame(
-        prior_rows, category_priors_df(train, lang_col).schema)
+    p = spark.createDataFrame(prior_rows, priors_plan.schema)
     return (classify_df(docs.select(id_col, text_col), d, p, [id_col],
                         text_col, setting, round_decimals)
             .select(id_col, F.col("predicted").alias("lang_pred"),

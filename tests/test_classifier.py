@@ -219,3 +219,17 @@ def test_language_id_hard_cap_fails_loudly(spark):
          for i in range(40)], "doc_id long, text string, lang string")
     with pytest.raises(ValueError, match="max_model_terms"):
         language_id_clf(docs, max_model_terms=30).collect()
+
+
+def test_classify_df_empty_model_degrades_gracefully(spark):
+    # empty corpus / everything pruned must fall back to ('', 0.0) rows,
+    # not die building a zero-column argmax (round-3 review regression)
+    from palladian_spark.classification.train_df import classify_df
+    docs = spark.createDataFrame([(1, "some text")],
+                                 "doc_id long, text string")
+    empty_d = spark.createDataFrame(
+        [], "term string, category string, count double")
+    empty_p = spark.createDataFrame(
+        [], "category string, num_documents double")
+    rows = classify_df(docs, empty_d, empty_p, ["doc_id"]).collect()
+    assert [(r["predicted"], r["prob"]) for r in rows] == [("", 0.0)]
