@@ -93,6 +93,39 @@ def _q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("conv_id", "turn_idx", "subj", "pred", "obj"))
 
 
+def _q_kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph materialization: per-node degree profile over the distinct
+    (subj, pred, obj) edge set of the full pipeline's triples — the
+    first table a KG consumer derives (graph.py round 3)."""
+    from palladian_spark.graph import kg_degrees
+    return kg_degrees(_q_triples(spark, sf_dir)) \
+        .select("node", "out_degree", "in_degree")
+
+
+def _q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, d=0.85) over the entity graph.  Each
+    iteration's contribution sum is decimal-exact (order-independent),
+    so the oracle can replay all three iterations as unrolled SQL and
+    hash-match — an ITERATIVE distributed algorithm under the same exact
+    oracle regime as everything else."""
+    from palladian_spark.graph import pagerank
+    t = _q_triples(spark, sf_dir)
+    edges = t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return pagerank(edges, n_iter=3).select("node", "rank")
+
+
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: MinHash/LSH pair output → connected
+    components (min-label propagation to fixpoint) — pairs alone don't
+    answer 'which documents are the same'; clusters do.  The oracle
+    computes the same components via a recursive transitive closure."""
+    from palladian_spark.graph import connected_components
+    from palladian_spark.operators.dedup import minhash_dedup_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_dedup_pairs(docs, threshold=0.2)
+    return connected_components(pairs).select("node", "component")
+
+
 def _q_link_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity linking via normalized-key broadcast join (SURVEY.md §2.6):
     noisy mention values (lowercased, padded) → canonical entity ids."""
@@ -840,6 +873,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "candidates_stringtagger": _q_candidates,
         "kg_triples": _q_triples,
+        "kg_degrees": _q_kg_degrees,
+        "kg_pagerank": _q_kg_pagerank,
+        "dedup_components": _q_dedup_components,
         "link_entities": _q_link_entities,
         "remove_nested": _q_remove_nested,
         "combine_adjacent": _q_combine_adjacent,
@@ -1048,6 +1084,44 @@ FROM tok t JOIN pick p ON t.token = p.token AND p.rn = 1
 """
 
 
+_LSH_PAIRS_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(
+           [array_to_string(ts[i:i+2], ' ')
+            for i in range(1, greatest(len(ts) - 2, 1) + 1)]) s
+  FROM tok
+), e AS (SELECT doc_id, unnest(s) shingle FROM sh),
+sig AS (
+  SELECT doc_id,
+    min(('0x' || substr(md5('seed0|' || shingle), 1, 8))::BIGINT) m0,
+    min(('0x' || substr(md5('seed1|' || shingle), 1, 8))::BIGINT) m1,
+    min(('0x' || substr(md5('seed2|' || shingle), 1, 8))::BIGINT) m2,
+    min(('0x' || substr(md5('seed3|' || shingle), 1, 8))::BIGINT) m3,
+    min(('0x' || substr(md5('seed4|' || shingle), 1, 8))::BIGINT) m4,
+    min(('0x' || substr(md5('seed5|' || shingle), 1, 8))::BIGINT) m5,
+    min(('0x' || substr(md5('seed6|' || shingle), 1, 8))::BIGINT) m6,
+    min(('0x' || substr(md5('seed7|' || shingle), 1, 8))::BIGINT) m7
+  FROM e GROUP BY doc_id
+), band AS (
+  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS key FROM sig
+  UNION ALL SELECT doc_id, 1, m2::VARCHAR || '_' || m3::VARCHAR FROM sig
+  UNION ALL SELECT doc_id, 2, m4::VARCHAR || '_' || m5::VARCHAR FROM sig
+  UNION ALL SELECT doc_id, 3, m6::VARCHAR || '_' || m7::VARCHAR FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+  FROM band a JOIN band b ON a.band = b.band AND a.key = b.key
+                         AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id,
+       round(len(list_intersect(x.s, y.s))::DOUBLE
+             / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+FROM cand JOIN sh x ON a_id = x.doc_id JOIN sh y ON b_id = y.doc_id
+WHERE round(len(list_intersect(x.s, y.s))::DOUBLE
+            / len(list_distinct(list_concat(x.s, y.s))), 6) >= 0.2
+"""
+
+
 _ANN_SCORE_RANK = """
 scored AS (
   SELECT c.a_id, c.b_id,
@@ -1150,10 +1224,76 @@ cand AS (
 """ + _ANN_SCORE_RANK
 
 
+_PAGERANK_ITER = """
+{out} AS (
+  SELECT nodes.node,
+         (1.0 - 0.85) / nn.c + 0.85 * COALESCE(s.con, 0.0) AS r
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum(CAST({prev}.r / outd.d AS DECIMAL(38,18)))
+                AS DOUBLE) con
+    FROM e JOIN {prev} ON e.src = {prev}.node
+           JOIN outd ON e.src = outd.src
+    GROUP BY 1) s ON s.node = nodes.node
+)"""
+
+
+def _kg_pagerank_oracle() -> str:
+    """Unrolled 3-iteration PageRank over the analytic triple edges —
+    exact because the engine's per-iteration contribution sums are
+    decimal-exact (graph.pagerank), so both engines compute the same
+    doubles in the same per-row order."""
+    its = ",".join(
+        _PAGERANK_ITER.format(out=f"i{k}", prev=("r0" if k == 1
+                                                 else f"i{k - 1}"))
+        for k in (1, 2, 3))
+    return _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS s, supp AS o FROM base
+        UNION SELECT DISTINCT supp, nat FROM base),
+e AS (SELECT s AS src, o AS dst FROM t),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) c FROM nodes),
+outd AS (SELECT src, CAST(count(*) AS DOUBLE) d FROM e GROUP BY 1),
+r0 AS (SELECT node, 1.0 / nn.c AS r FROM nodes CROSS JOIN nn),
+""" + its + """
+SELECT node, round(r, 6) AS rank FROM i3
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "ann_lsh_top1": _ann_lsh_oracle(),
         "ann_ivf_top1": _ann_ivf_oracle(),
+        "kg_degrees": _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
+        FROM base
+        UNION SELECT DISTINCT supp, 'located_in', nat FROM base),
+o AS (SELECT subj AS node, count(*) od FROM t GROUP BY 1),
+i AS (SELECT obj AS node, count(*) idg FROM t GROUP BY 1)
+SELECT COALESCE(o.node, i.node) AS node,
+       CAST(COALESCE(od, 0) AS BIGINT) AS out_degree,
+       CAST(COALESCE(idg, 0) AS BIGINT) AS in_degree
+FROM o FULL JOIN i ON o.node = i.node
+""",
+        "kg_pagerank": _kg_pagerank_oracle(),
+        # outer CTE names prefixed cc_: DuckDB resolves the embedded
+        # pairs query's own CTEs ('e', 'sig', …) against the OUTER scope
+        # when names collide
+        "dedup_components": """
+WITH RECURSIVE cc_pairs AS (
+  SELECT a_id, b_id FROM (""" + _LSH_PAIRS_SQL + """)
+), cc_e AS (
+  SELECT a_id AS u, b_id AS v FROM cc_pairs
+  UNION SELECT b_id, a_id FROM cc_pairs
+), cc_nodes AS (SELECT DISTINCT u AS node FROM cc_e),
+cc_reach AS (
+  SELECT node AS u, node AS v FROM cc_nodes
+  UNION
+  SELECT r.u, cc_e.v FROM cc_reach r JOIN cc_e ON r.v = cc_e.u
+)
+SELECT u AS node, min(v) AS component FROM cc_reach GROUP BY u
+""",
         "candidates_stringtagger": _BASE_CTE + """
 SELECT conv_id, turn_idx, 0 AS m_start,
        CAST(length(cust) AS INT) AS m_end, cust AS value,
@@ -1461,42 +1601,7 @@ FROM dedup GROUP BY 1, 3
 UNION ALL SELECT supp, 'CANDIDATE', nat, 'CANDIDATE', count(*)
 FROM dedup GROUP BY 1, 3
 """,
-        "lsh_dedup_pairs": """
-WITH tok AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
-sh AS (
-  SELECT doc_id, list_distinct(
-           [array_to_string(ts[i:i+2], ' ')
-            for i in range(1, greatest(len(ts) - 2, 1) + 1)]) s
-  FROM tok
-), e AS (SELECT doc_id, unnest(s) shingle FROM sh),
-sig AS (
-  SELECT doc_id,
-    min(('0x' || substr(md5('seed0|' || shingle), 1, 8))::BIGINT) m0,
-    min(('0x' || substr(md5('seed1|' || shingle), 1, 8))::BIGINT) m1,
-    min(('0x' || substr(md5('seed2|' || shingle), 1, 8))::BIGINT) m2,
-    min(('0x' || substr(md5('seed3|' || shingle), 1, 8))::BIGINT) m3,
-    min(('0x' || substr(md5('seed4|' || shingle), 1, 8))::BIGINT) m4,
-    min(('0x' || substr(md5('seed5|' || shingle), 1, 8))::BIGINT) m5,
-    min(('0x' || substr(md5('seed6|' || shingle), 1, 8))::BIGINT) m6,
-    min(('0x' || substr(md5('seed7|' || shingle), 1, 8))::BIGINT) m7
-  FROM e GROUP BY doc_id
-), band AS (
-  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS key FROM sig
-  UNION ALL SELECT doc_id, 1, m2::VARCHAR || '_' || m3::VARCHAR FROM sig
-  UNION ALL SELECT doc_id, 2, m4::VARCHAR || '_' || m5::VARCHAR FROM sig
-  UNION ALL SELECT doc_id, 3, m6::VARCHAR || '_' || m7::VARCHAR FROM sig
-), cand AS (
-  SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
-  FROM band a JOIN band b ON a.band = b.band AND a.key = b.key
-                         AND a.doc_id < b.doc_id
-)
-SELECT a_id, b_id,
-       round(len(list_intersect(x.s, y.s))::DOUBLE
-             / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
-FROM cand JOIN sh x ON a_id = x.doc_id JOIN sh y ON b_id = y.doc_id
-WHERE round(len(list_intersect(x.s, y.s))::DOUBLE
-            / len(list_distinct(list_concat(x.s, y.s))), 6) >= 0.2
-""",
+        "lsh_dedup_pairs": _LSH_PAIRS_SQL,
         "simhash": """
 WITH tok AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) token

@@ -1,0 +1,136 @@
+"""Graph materialization & analytics over the constructed KG.
+
+The pipeline's output is a (subj, pred, obj) triple table; what a KG
+consumer runs NEXT is graph-shaped: node/edge tables, degree profiles,
+importance ranking, and duplicate-cluster resolution.  The reference
+stops at triples (its PatternAnalyzer/KG demos print them), so these are
+the add-on operators a large-scale pipeline needs — all expressed as
+DataFrame plans that survive a 1000-executor scale-up:
+
+  * kg_edges / kg_degrees — distinct-edge materialization + one hash-agg
+    degree profile (map-side combinable).
+  * pagerank — classic iterative rank over the entity graph: each
+    iteration is contributions-join → exact decimal-summed agg → rank
+    update (one shuffle per iteration, broadcast-sized N on the driver).
+    Per-edge contributions are cast to decimal(38,18) before the sum so
+    every iteration is ORDER-INDEPENDENT — bit-identical results for any
+    partitioning, which is what lets a SQL oracle replay it exactly.
+    Dangling-node mass is dropped (the classic simplification; noted so
+    ranks are comparable, not probability-normalized).
+  * connected_components — min-label propagation to fixpoint (converges
+    in O(diameter) rounds, each one join + one min-agg — the
+    no-giant-component-in-memory shape), for resolving near-dup PAIRS
+    (LSH/MinHash output) into duplicate clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def kg_edges(triples: DataFrame) -> DataFrame:
+    """Distinct (src, pred, dst) edges + supporting-evidence weight
+    (number of (conv, turn) observations that asserted the edge)."""
+    return (triples
+            .groupBy(F.col("subj").alias("src"), "pred",
+                     F.col("obj").alias("dst"))
+            .agg(F.count(F.lit(1)).alias("weight")))
+
+
+def kg_degrees(triples: DataFrame) -> DataFrame:
+    """Per-node degree profile over DISTINCT (subj, pred, obj) edges:
+    (node, out_degree, in_degree).  Two map-side-combinable aggs + one
+    outer merge — no row explosion."""
+    e = triples.select("subj", "pred", "obj").distinct()
+    out_d = (e.groupBy(F.col("subj").alias("node"))
+             .agg(F.count(F.lit(1)).alias("out_degree")))
+    in_d = (e.groupBy(F.col("obj").alias("node"))
+            .agg(F.count(F.lit(1)).alias("in_degree")))
+    return (out_d.join(in_d, "node", "full_outer")
+            .select("node",
+                    F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+                    F.coalesce("in_degree", F.lit(0)).alias("in_degree")))
+
+
+def _exact_contrib_sum(col: str):
+    """Order-independent double sum (same trick as events._exact_sum):
+    per-row cast to decimal(38,18) makes the aggregation associative-
+    exact, so iterative PageRank is deterministic for any partitioning
+    AND replayable by an external SQL engine."""
+    return F.sum(F.col(col).cast("decimal(38,18)")).cast("double")
+
+
+def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85,
+             src_col: str = "src", dst_col: str = "dst",
+             round_decimals: int | None = 6,
+             checkpoint: bool = False) -> DataFrame:
+    """PageRank over the DISTINCT directed edge set.
+
+    rank_0 = 1/N; rank_{k+1}(v) = (1−d)/N + d · Σ_{u→v} rank_k(u)/out(u).
+    One shuffle per iteration (the contribution agg); the rank table is
+    O(nodes) rows.  ``checkpoint`` truncates lineage each iteration via
+    localCheckpoint — required for large ``n_iter`` on real clusters,
+    off by default so small runs stay plan-pure.  Dangling mass is not
+    redistributed (documented simplification).
+    """
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst")).distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_d"))
+    base = (1.0 - damping) / n
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        contrib = (e.join(ranks, e.src == ranks.node)
+                   .join(out_deg, "src")
+                   .select(F.col("dst").alias("node"),
+                           (F.col("rank") / F.col("out_d"))
+                           .alias("_contrib")))
+        summed = contrib.groupBy("node").agg(
+            _exact_contrib_sum("_contrib").alias("_in"))
+        ranks = (nodes.join(summed, "node", "left")
+                 .select("node",
+                         (F.lit(base) + F.lit(damping)
+                          * F.coalesce("_in", F.lit(0.0))).alias("rank")))
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    if round_decimals is not None:
+        ranks = ranks.withColumn("rank", F.round("rank", round_decimals))
+    return ranks
+
+
+def connected_components(pairs: DataFrame, src_col: str = "a_id",
+                         dst_col: str = "b_id",
+                         max_iter: int = 50) -> DataFrame:
+    """(node, component) labels over an undirected pair set — component
+    id = the minimum node id reachable, found by min-label propagation.
+
+    Each round is one join + one min-agg and the label table stays
+    O(nodes); rounds needed = graph diameter (near-dup clusters are
+    shallow).  The fixpoint test is one count per round — an acceptable
+    driver action since rounds are few; ``max_iter`` bounds adversarial
+    chains.  Deterministic by construction (min is order-free).
+    """
+    e = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
+        .distinct()
+    labels = (und.select(F.col("u").alias("node"))
+              .union(und.select(F.col("v").alias("node"))).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(max_iter):
+        prop = (und.join(labels, und.v == labels.node)
+                .select(F.col("u").alias("node"), "label"))
+        new = (labels.select("node", "label").union(prop)
+               .groupBy("node").agg(F.min("label").alias("label")))
+        new = new.localCheckpoint(eager=True)
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))

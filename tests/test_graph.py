@@ -1,0 +1,80 @@
+"""Graph analytics over the constructed KG (graph.py, round 3):
+degrees, deterministic PageRank, connected components."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_kg_degrees(spark):
+    from palladian_spark.graph import kg_degrees
+    t = spark.createDataFrame(
+        [("c", 0, "A", "works_for", "B"),
+         ("c", 1, "A", "works_for", "B"),   # duplicate edge → counted once
+         ("c", 0, "A", "likes", "C"),
+         ("c", 0, "B", "located_in", "C")],
+        "conv_id string, turn_idx int, subj string, pred string, obj string")
+    got = {r["node"]: (r["out_degree"], r["in_degree"])
+           for r in kg_degrees(t).collect()}
+    assert got == {"A": (2, 0), "B": (1, 1), "C": (0, 2)}
+
+
+def test_pagerank_two_node_cycle(spark):
+    # A→B, B→A: symmetric, every iteration keeps rank = 0.5 exactly
+    from palladian_spark.graph import pagerank
+    e = spark.createDataFrame([("A", "B"), ("B", "A")],
+                              "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(e, n_iter=5).collect()}
+    assert got == {"A": 0.5, "B": 0.5}
+
+
+def test_pagerank_star_matches_hand_computation(spark):
+    # A→C, B→C, C→A (one iteration from uniform 1/3):
+    #   r(C) = 0.05 + 0.85·(1/3 + 1/3), r(A) = 0.05 + 0.85/3, r(B) = 0.05
+    from palladian_spark.graph import pagerank
+    e = spark.createDataFrame([("A", "C"), ("B", "C"), ("C", "A")],
+                              "src string, dst string")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(e, n_iter=1, round_decimals=None).collect()}
+    third = 1.0 / 3
+    assert got["C"] == pytest.approx(0.05 + 0.85 * (third + third), abs=1e-12)
+    assert got["A"] == pytest.approx(0.05 + 0.85 * third, abs=1e-12)
+    assert got["B"] == pytest.approx(0.05, abs=1e-12)
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    # the decimal-exact contribution sum is the determinism claim: the
+    # same graph through wildly different partitionings hashes identical
+    from palladian_spark.graph import pagerank
+    rows = [(f"n{i}", f"n{(i * 7 + 3) % 50}") for i in range(200)]
+    a = spark.createDataFrame(rows, "src string, dst string")
+    b = spark.createDataFrame(rows, "src string, dst string").repartition(37)
+    ra = sorted((r["node"], r["rank"])
+                for r in pagerank(a, n_iter=4).collect())
+    rb = sorted((r["node"], r["rank"])
+                for r in pagerank(b, n_iter=4).collect())
+    assert ra == rb
+
+
+def test_connected_components_clusters_and_chain(spark):
+    from palladian_spark.graph import connected_components
+    pairs = [(1, 2), (2, 3), (3, 4),        # chain → component 1
+             (10, 11),                      # pair → component 10
+             (20, 21), (21, 22), (20, 22)]  # triangle → component 20
+    p = spark.createDataFrame(pairs, "a_id long, b_id long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(p).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # diameter > a few: propagation must iterate to fixpoint, not stop
+    # after one round
+    from palladian_spark.graph import connected_components
+    n = 24
+    p = spark.createDataFrame([(i, i + 1) for i in range(n)],
+                              "a_id long, b_id long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(p).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
