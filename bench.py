@@ -53,10 +53,17 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     ]
     # round-2 operators (kept separate so the r01 subset stays comparable
     # across rounds — see extra["headline_r01_total"])
-    headline = headline_r01 + [
+    headline_r02 = headline_r01 + [
         "dates_tagged",
         "pos_tag_clf",
         "lang_id",
+    ]
+    # round-3 graph analytics (kg_pagerank re-runs the full kg pipeline
+    # as its input, so it is the second-most-expensive row by design)
+    headline = headline_r02 + [
+        "kg_degrees",
+        "kg_pagerank",
+        "dedup_components",
     ]
     queries = entrymod.queries()
     for name in headline:
@@ -87,6 +94,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     extra["turns_per_sec"] = round(n_turns / timings["kg_triples"], 1)
     extra["headline_r01_total"] = round(
         sum(timings[q] for q in headline_r01), 3)
+    extra["headline_r02_total"] = round(
+        sum(timings[q] for q in headline_r02), 3)
 
     spark.stop()
     total = round(sum(timings.values()), 3)
