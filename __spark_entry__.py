@@ -93,6 +93,29 @@ def _q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("conv_id", "turn_idx", "subj", "pred", "obj"))
 
 
+def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document by smoothed tf-idf — ranking on the
+    ROUNDED score with term-asc tie-break keeps the row set identical
+    across engines.  All per-row double arithmetic; no cross-row float
+    accumulation anywhere."""
+    from palladian_spark.operators.tfidf import top_keywords
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return top_keywords(docs, k=3) \
+        .select("doc_id", "term", "tfidf", "kw_rank")
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 of every document against a fixed 3-term query.  The
+    per-document sum folds the (≤3) addends in sorted-term order, which
+    the oracle mirrors as an explicit coalesce chain — adding exact 0.0
+    for absent terms is an IEEE identity, so both engines compute the
+    same doubles."""
+    from palladian_spark.operators.tfidf import bm25_scores
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_scores(docs, ["query", "spark", "table"]) \
+        .select("doc_id", "bm25")
+
+
 def _q_kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph materialization: per-node degree profile over the distinct
     (subj, pred, obj) edge set of the full pipeline's triples — the
@@ -876,6 +899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degrees": _q_kg_degrees,
         "kg_pagerank": _q_kg_pagerank,
         "dedup_components": _q_dedup_components,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "bm25_scores": _q_bm25,
         "link_entities": _q_link_entities,
         "remove_nested": _q_remove_nested,
         "combine_adjacent": _q_combine_adjacent,
@@ -1277,6 +1302,67 @@ SELECT COALESCE(o.node, i.node) AS node,
 FROM o FULL JOIN i ON o.node = i.node
 """,
         "kg_pagerank": _kg_pagerank_oracle(),
+        "tfidf_keywords": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+  GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tok
+  WHERE term <> '' GROUP BY 1
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term,
+         round(CAST(tf.tf AS DOUBLE)
+               * (ln((n.c + 1) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS kw_rank
+  FROM s
+)
+SELECT doc_id, term, tfidf, CAST(kw_rank AS INT) AS kw_rank
+FROM r WHERE kw_rank <= 3
+""",
+        # the coalesce chain mirrors the engine's sorted-term fold
+        # exactly: 0.0 + s_query + s_spark + s_table left-to-right, with
+        # absent terms contributing an IEEE-identity 0.0
+        "bm25_scores": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+  WHERE term <> '' GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tok
+  WHERE term <> '' GROUP BY 1
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM documents),
+dl AS (SELECT doc_id,
+              CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl
+       FROM documents),
+avgdl AS (SELECT sum(dl) / (SELECT c FROM n) AS a FROM dl),
+part AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (n.c - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * (1.2 + 1.0))
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl.a)) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN n CROSS JOIN avgdl
+  WHERE tf.term IN ('query', 'spark', 'table')
+), folded AS (
+  SELECT doc_id,
+         0.0 + COALESCE(max(CASE WHEN term = 'query' THEN s END), 0.0)
+             + COALESCE(max(CASE WHEN term = 'spark' THEN s END), 0.0)
+             + COALESCE(max(CASE WHEN term = 'table' THEN s END), 0.0)
+           AS bm25
+  FROM part GROUP BY 1
+)
+SELECT d.doc_id, round(COALESCE(f.bm25, 0.0), 6) AS bm25
+FROM documents d LEFT JOIN folded f ON d.doc_id = f.doc_id
+""",
         # outer CTE names prefixed cc_: DuckDB resolves the embedded
         # pairs query's own CTEs ('e', 'sig', …) against the OUTER scope
         # when names collide
