@@ -116,6 +116,15 @@ def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "bm25")
 
 
+def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the embedding storage
+    path at 100 TB).  Rounding is floor(x/scale + 0.5) — half-up toward
+    +∞ — exactly so numpy and the SQL oracle floor the same doubles."""
+    from palladian_spark.operators.embeddings import quantize_embeddings
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return quantize_embeddings(emb).select("vec_id", "scale", "qvec")
+
+
 def _q_kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph materialization: per-node degree profile over the distinct
     (subj, pred, obj) edge set of the full pipeline's triples — the
@@ -901,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_scores": _q_bm25,
+        "quantize_embeddings": _q_quantize_embeddings,
         "link_entities": _q_link_entities,
         "remove_nested": _q_remove_nested,
         "combine_adjacent": _q_combine_adjacent,
@@ -1302,6 +1312,21 @@ SELECT COALESCE(o.node, i.node) AS node,
 FROM o FULL JOIN i ON o.node = i.node
 """,
         "kg_pagerank": _kg_pagerank_oracle(),
+        "quantize_embeddings": """
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_max([abs(x) FOR x IN CAST(embedding AS DOUBLE[])]) AS m
+  FROM embeddings
+), sc AS (
+  SELECT vec_id, v,
+         CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale
+  FROM s
+)
+SELECT vec_id, scale,
+       [CAST(LEAST(127.0, GREATEST(-127.0, floor(x / scale + 0.5)))
+             AS TINYINT) FOR x IN v] AS qvec
+FROM sc
+""",
         "tfidf_keywords": """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
