@@ -125,6 +125,16 @@ def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(emb).select("vec_id", "scale", "qvec")
 
 
+def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: quality gate → exact dedup
+    (min-id per fingerprint) → near-dup cluster representatives
+    (MinHash → LSH pairs → connected components on the survivors).
+    One oracle verifies the whole composition end to end."""
+    from palladian_spark.operators.curation import curate_corpus
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curate_corpus(docs).select("doc_id", "quality")
+
+
 def _q_kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph materialization: per-node degree profile over the distinct
     (subj, pred, obj) edge set of the full pipeline's triples — the
@@ -911,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": _q_tfidf_keywords,
         "bm25_scores": _q_bm25,
         "quantize_embeddings": _q_quantize_embeddings,
+        "curate_corpus": _q_curate_corpus,
         "link_entities": _q_link_entities,
         "remove_nested": _q_remove_nested,
         "combine_adjacent": _q_combine_adjacent,
@@ -1296,10 +1307,62 @@ SELECT node, round(r, 6) AS rank FROM i3
 """
 
 
+def _curate_corpus_oracle() -> str:
+    """Composition oracle: the quality gate and exact-dedup window feed
+    the SAME LSH pairs SQL (re-pointed at the survivors CTE), then the
+    recursive component closure keeps min-id representatives."""
+    pairs_on_surv = _LSH_PAIRS_SQL.replace("FROM documents",
+                                           "FROM cu_surv1")
+    return """
+WITH RECURSIVE cu_t AS (
+  SELECT doc_id, text, string_split(text, ' ') ts, length(text) nc
+  FROM documents
+), cu_r AS (
+  SELECT doc_id, text,
+    len(list_distinct(ts))::DOUBLE / len(ts) dr,
+    len(list_filter(ts, x -> x IN ('the','a','and','of')))::DOUBLE
+      / len(ts) sr,
+    (nc - length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')))::DOUBLE
+      / nc nar
+  FROM cu_t
+), cu_q AS (
+  SELECT doc_id, text,
+         round(dr * (1.0 - nar)
+               * CASE WHEN sr >= 0.05 AND sr <= 0.6
+                      THEN 1.0 ELSE 0.5 END, 6) AS quality
+  FROM cu_r
+), cu_good AS (SELECT * FROM cu_q WHERE quality >= 0.3),
+cu_exact AS (
+  SELECT doc_id, text, quality,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY doc_id) AS rn
+  FROM cu_good
+), cu_surv1 AS (
+  SELECT doc_id, text, quality FROM cu_exact WHERE rn = 1
+), cu_pairs AS (
+  SELECT a_id, b_id FROM (""" + pairs_on_surv + """)
+), cu_e AS (
+  SELECT a_id AS u, b_id AS v FROM cu_pairs
+  UNION SELECT b_id, a_id FROM cu_pairs
+), cu_nodes AS (SELECT DISTINCT u AS node FROM cu_e),
+cu_reach AS (
+  SELECT node AS u, node AS v FROM cu_nodes
+  UNION
+  SELECT r.u, cu_e.v FROM cu_reach r JOIN cu_e ON r.v = cu_e.u
+), cu_comp AS (
+  SELECT u AS node, min(v) AS component FROM cu_reach GROUP BY u
+), cu_drop AS (SELECT node FROM cu_comp WHERE node <> component)
+SELECT s.doc_id, s.quality
+FROM cu_surv1 s LEFT JOIN cu_drop d ON s.doc_id = d.node
+WHERE d.node IS NULL
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "ann_lsh_top1": _ann_lsh_oracle(),
         "ann_ivf_top1": _ann_ivf_oracle(),
+        "curate_corpus": _curate_corpus_oracle(),
         "kg_degrees": _BASE_CTE + """
 , t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
         FROM base
