@@ -125,6 +125,17 @@ def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(emb).select("vec_id", "scale", "qvec")
 
 
+def _q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means (k=8, 2 Lloyd iterations, sample init):
+    assignment ties break to the lowest centroid index and centroid
+    updates use decimal-exact component sums, so the oracle replays both
+    iterations as unrolled SQL — the second iterative-ML-under-exact-
+    oracle demonstration next to PageRank."""
+    from palladian_spark.operators.clustering import kmeans_assign
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_assign(emb, k=8, n_iter=2).select("vec_id", "cluster")
+
+
 def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pipeline: quality gate → exact dedup
     (min-id per fingerprint) → near-dup cluster representatives
@@ -922,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": _q_bm25,
         "quantize_embeddings": _q_quantize_embeddings,
         "curate_corpus": _q_curate_corpus,
+        "kmeans_assign": _q_kmeans_assign,
         "link_entities": _q_link_entities,
         "remove_nested": _q_remove_nested,
         "combine_adjacent": _q_combine_adjacent,
@@ -1363,6 +1375,49 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_top1": _ann_lsh_oracle(),
         "ann_ivf_top1": _ann_ivf_oracle(),
         "curate_corpus": _curate_corpus_oracle(),
+        # dim=64 is the embeddings-table contract (TESTDATA.md), k=8 and
+        # both Lloyd iterations unrolled; empty clusters coalesce to
+        # their previous centroid like the engine
+        "kmeans_assign": """
+WITH c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY vec_id) <= 8
+), e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d1 AS (
+  SELECT e.vec_id, c0.cidx,
+         list_sum([(e.v[i] - c0.v[i]) * (e.v[i] - c0.v[i])
+                   FOR i IN range(1, 65)]) AS d
+  FROM e CROSS JOIN c0
+), a1 AS (
+  SELECT vec_id, cidx AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d ASC, cidx ASC) AS rn
+    FROM d1) WHERE rn = 1
+), m1 AS (
+  SELECT a1.cluster, r.i AS dim,
+         CAST(sum(CAST(e.v[r.i] AS DECIMAL(38,18))) AS DOUBLE)
+           / count(*) AS m
+  FROM a1 JOIN e USING (vec_id) CROSS JOIN range(1, 65) r(i)
+  GROUP BY 1, 2
+), c1 AS (
+  SELECT c0.cidx, list(COALESCE(m1.m, c0.v[r.i]) ORDER BY r.i) AS v
+  FROM c0 CROSS JOIN range(1, 65) r(i)
+  LEFT JOIN m1 ON m1.cluster = c0.cidx AND m1.dim = r.i
+  GROUP BY c0.cidx
+), d2 AS (
+  SELECT e.vec_id, c1.cidx,
+         list_sum([(e.v[i] - c1.v[i]) * (e.v[i] - c1.v[i])
+                   FOR i IN range(1, 65)]) AS d
+  FROM e CROSS JOIN c1
+)
+SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
+  SELECT vec_id, cidx AS cluster,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d ASC, cidx ASC) AS rn
+  FROM d2) WHERE rn = 1
+""",
         "kg_degrees": _BASE_CTE + """
 , t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
         FROM base
