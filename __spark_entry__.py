@@ -125,6 +125,17 @@ def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(emb).select("vec_id", "scale", "qvec")
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-gated stratified sampling (per-language rates)
+    — a pure function of the data, identical on any partitioning or
+    cluster size, with the md5 gate replayed verbatim by the oracle."""
+    from palladian_spark.operators.sampling import stratified_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        docs, {"en": 0.5, "de": 0.25}, default_rate=0.1) \
+        .select("doc_id", "lang")
+
+
 def _q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-means (k=8, 2 Lloyd iterations, sample init):
     assignment ties break to the lowest centroid index and centroid
@@ -934,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": _q_quantize_embeddings,
         "curate_corpus": _q_curate_corpus,
         "kmeans_assign": _q_kmeans_assign,
+        "stratified_sample": _q_stratified_sample,
         "link_entities": _q_link_entities,
         "remove_nested": _q_remove_nested,
         "combine_adjacent": _q_combine_adjacent,
@@ -1375,6 +1387,14 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_top1": _ann_lsh_oracle(),
         "ann_ivf_top1": _ann_ivf_oracle(),
         "curate_corpus": _curate_corpus_oracle(),
+        "stratified_sample": """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8))
+        ::BIGINT % 1000000
+      < CASE WHEN lang = 'en' THEN 500000
+             WHEN lang = 'de' THEN 250000
+             ELSE 100000 END
+""",
         # dim=64 is the embeddings-table contract (TESTDATA.md), k=8 and
         # both Lloyd iterations unrolled; empty clusters coalesce to
         # their previous centroid like the engine
