@@ -125,6 +125,15 @@ def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(emb).select("vec_id", "scale", "qvec")
 
 
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity per document (CCNet-style quality signal):
+    corpus-trained add-1 bigram model, per-doc decimal-exact log-prob
+    sums so the oracle replays train + score in one SQL statement."""
+    from palladian_spark.operators.lm_perplexity import self_perplexity
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return self_perplexity(docs).select("doc_id", "n_tokens", "ppl")
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-gated stratified sampling (per-language rates)
     — a pure function of the data, identical on any partitioning or
@@ -946,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": _q_curate_corpus,
         "kmeans_assign": _q_kmeans_assign,
         "stratified_sample": _q_stratified_sample,
+        "lm_perplexity": _q_lm_perplexity,
         "link_entities": _q_link_entities,
         "remove_nested": _q_remove_nested,
         "combine_adjacent": _q_combine_adjacent,
@@ -1387,6 +1397,31 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_top1": _ann_lsh_oracle(),
         "ann_ivf_top1": _ann_ivf_oracle(),
         "curate_corpus": _curate_corpus_oracle(),
+        # parallel unnests zip in DuckDB, so the two comprehensions
+        # produce aligned (w1, w2) bigram rows
+        "lm_perplexity": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+big AS (
+  SELECT doc_id,
+         unnest([CASE WHEN i = 1 THEN '<s>' ELSE ts[i - 1] END
+                 FOR i IN range(1, len(ts) + 1)]) AS w1,
+         unnest([ts[i] FOR i IN range(1, len(ts) + 1)]) AS w2
+  FROM t
+), c12 AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c FROM big GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS n FROM big),
+lp AS (
+  SELECT big.doc_id,
+         ln((CAST(COALESCE(c12.c, 0) AS DOUBLE) + 1.0)
+            / (CAST(COALESCE(c1.c, 0) AS DOUBLE) + 1.0 * v.n)) AS lp
+  FROM big LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+       round(exp(-(CAST(sum(CAST(lp AS DECIMAL(38,18))) AS DOUBLE))
+                 / count(*)), 6) AS ppl
+FROM lp GROUP BY 1
+""",
         "stratified_sample": """
 SELECT doc_id, lang FROM documents
 WHERE ('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8))
