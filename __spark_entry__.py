@@ -125,6 +125,19 @@ def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(emb).select("vec_id", "scale", "qvec")
 
 
+def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs 0-4 stand in as the eval set;
+    every other document reports how many distinct eval 5-grams it
+    contains (0 via left join — the caller picks the drop threshold)."""
+    from palladian_spark.operators.decontamination import (
+        ngram_overlap_flags)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eval_docs = docs.where(F.col("doc_id") < 5)
+    train = docs.where(F.col("doc_id") >= 5)
+    return ngram_overlap_flags(train, eval_docs, n=5) \
+        .select("doc_id", "n_hits")
+
+
 def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity per document (CCNet-style quality signal):
     corpus-trained add-1 bigram model, per-doc decimal-exact log-prob
@@ -956,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": _q_kmeans_assign,
         "stratified_sample": _q_stratified_sample,
         "lm_perplexity": _q_lm_perplexity,
+        "decontamination": _q_decontamination,
         "link_entities": _q_link_entities,
         "remove_nested": _q_remove_nested,
         "combine_adjacent": _q_combine_adjacent,
@@ -1397,6 +1411,28 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_top1": _ann_lsh_oracle(),
         "ann_ivf_top1": _ann_ivf_oracle(),
         "curate_corpus": _curate_corpus_oracle(),
+        "decontamination": """
+WITH g AS (
+  SELECT doc_id, ts FROM (
+    SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents)
+), ev AS (
+  SELECT DISTINCT array_to_string(ts[i:i+4], ' ') AS ngram
+  FROM g, unnest(range(1, greatest(len(ts) - 4, 0) + 1)) r(i)
+  WHERE doc_id < 5
+), dg AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(ts[i:i+4], ' ')
+                               FOR i IN range(1, greatest(len(ts) - 4, 0)
+                                              + 1)])) AS ngram
+  FROM g WHERE doc_id >= 5
+), hits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM dg JOIN ev USING (ngram) GROUP BY 1
+)
+SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 5) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+""",
         # parallel unnests zip in DuckDB, so the two comprehensions
         # produce aligned (w1, w2) bigram rows
         "lm_perplexity": """
