@@ -28,6 +28,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _lineage_cut(df: DataFrame, checkpoint_dir: str | None,
+                 eager: bool) -> DataFrame:
+    """Truncate lineage between iterations.
+
+    With ``checkpoint_dir`` set, uses a RELIABLE ``.checkpoint()`` backed
+    by that directory (HDFS/S3 path on a real cluster): blocks survive
+    executor loss, so a 50-iteration run can lose workers and recompute
+    from the last checkpoint instead of aborting.  Without it, falls back
+    to ``localCheckpoint`` — blocks live on executors, fine for
+    local-mode runs but NOT executor-loss-safe at cluster scale.
+    ``setCheckpointDir`` is idempotent per session; calling it here keeps
+    the knob at the operator API instead of global session setup.
+    """
+    if checkpoint_dir is not None:
+        sc = df.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def kg_edges(triples: DataFrame) -> DataFrame:
     """Distinct (src, pred, dst) edges + supporting-evidence weight
     (number of (conv, turn) observations that asserted the edge)."""
@@ -63,15 +83,19 @@ def _exact_contrib_sum(col: str):
 def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85,
              src_col: str = "src", dst_col: str = "dst",
              round_decimals: int | None = 6,
-             checkpoint: bool = False) -> DataFrame:
+             checkpoint: bool = False,
+             checkpoint_dir: str | None = None) -> DataFrame:
     """PageRank over the DISTINCT directed edge set.
 
     rank_0 = 1/N; rank_{k+1}(v) = (1−d)/N + d · Σ_{u→v} rank_k(u)/out(u).
     One shuffle per iteration (the contribution agg); the rank table is
-    O(nodes) rows.  ``checkpoint`` truncates lineage each iteration via
-    localCheckpoint — required for large ``n_iter`` on real clusters,
-    off by default so small runs stay plan-pure.  Dangling mass is not
-    redistributed (documented simplification).
+    O(nodes) rows.  ``checkpoint`` truncates lineage each iteration —
+    required for large ``n_iter`` on real clusters, off by default so
+    small runs stay plan-pure.  Pass ``checkpoint_dir`` (implies
+    ``checkpoint``) to make the cut RELIABLE (``.checkpoint()`` to a
+    shared path) — executor-loss-safe, the cluster-scale setting; the
+    default ``localCheckpoint`` is local-mode only (see _lineage_cut).
+    Dangling mass is not redistributed (documented simplification).
     """
     e = edges.select(F.col(src_col).alias("src"),
                      F.col(dst_col).alias("dst")).distinct()
@@ -96,8 +120,8 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85,
                  .select("node",
                          (F.lit(base) + F.lit(damping)
                           * F.coalesce("_in", F.lit(0.0))).alias("rank")))
-        if checkpoint:
-            ranks = ranks.localCheckpoint(eager=False)
+        if checkpoint or checkpoint_dir is not None:
+            ranks = _lineage_cut(ranks, checkpoint_dir, eager=False)
     if round_decimals is not None:
         ranks = ranks.withColumn("rank", F.round("rank", round_decimals))
     return ranks
@@ -105,7 +129,8 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85,
 
 def connected_components(pairs: DataFrame, src_col: str = "a_id",
                          dst_col: str = "b_id",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """(node, component) labels over an undirected pair set — component
     id = the minimum node id reachable, found by min-label propagation.
 
@@ -114,6 +139,10 @@ def connected_components(pairs: DataFrame, src_col: str = "a_id",
     shallow).  The fixpoint test is one count per round — an acceptable
     driver action since rounds are few; ``max_iter`` bounds adversarial
     chains.  Deterministic by construction (min is order-free).
+
+    ``checkpoint_dir`` switches the per-round lineage cut from
+    localCheckpoint (local-mode default) to a reliable ``.checkpoint()``
+    so a multi-round run survives executor loss (see _lineage_cut).
     """
     e = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
     und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
@@ -126,7 +155,7 @@ def connected_components(pairs: DataFrame, src_col: str = "a_id",
                 .select(F.col("u").alias("node"), "label"))
         new = (labels.select("node", "label").union(prop)
                .groupBy("node").agg(F.min("label").alias("label")))
-        new = new.localCheckpoint(eager=True)
+        new = _lineage_cut(new, checkpoint_dir, eager=True)
         changed = (new.alias("n")
                    .join(labels.alias("o"), "node")
                    .where(F.col("n.label") != F.col("o.label")).count())

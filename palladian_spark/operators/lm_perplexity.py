@@ -4,9 +4,12 @@ against a corpus LM, filter or bucket by perplexity).
 
 Whole thing is relational:
 
-  train  = one window pass builds (w1, w2) bigram rows (BOS-padded),
-           two hash aggs count bigrams and contexts — map-side
-           combinable, the cheapest distributed shapes.
+  train  = bigram (w1, w2) rows are built INSIDE the token array
+           (BOS-padded pairs via transform, one explode) — no window, so
+           no sort exchange of |tokens| rows before the two hash aggs
+           that count bigrams and contexts; both are map-side combinable,
+           the cheapest distributed shapes.  Same array-side trick as
+           shingles (dedup.py) and skip-grams.
   score  = bigram rows ⋈ count tables (Catalyst picks broadcast vs
            shuffle by size), add-k smoothed
            ln((c(w1,w2)+k) / (c(w1)+k·V)) per bigram, then a per-doc
@@ -19,20 +22,33 @@ document against a frozen model never NULLs out.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 BOS = "<s>"
 
 
 def _bigram_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, w1, w2) — one bigram per token, BOS context for the first."""
-    toks = (docs
-            .select(id_col, F.posexplode(F.split(F.col(text_col), " "))
-                    .alias("pos", "w2")))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    return toks.withColumn(
-        "w1", F.coalesce(F.lag("w2").over(w), F.lit(BOS))) \
-        .select(id_col, "w1", "w2")
+    """(id, w1, w2) — one bigram per token, BOS context for the first.
+
+    The pairs are constructed inside the token array (transform over the
+    split with the 0-based element index; element_at is 1-based, so
+    ``element_at(ts, i)`` IS the previous token) and exploded once.  No
+    Window.partitionBy(id).orderBy(pos) — the old shape's full sort
+    exchange of |tokens| rows is gone; the only shuffles left downstream
+    are the count aggregations themselves.  The transform lambda is not
+    whole-stage-codegen'd, but it stays JVM-side and is per-document
+    array work — strictly cheaper than a |tokens|-row shuffle at scale.
+    """
+    ts = F.split(F.col(text_col), " ")
+    pairs = F.transform(
+        ts,
+        lambda w2, i: F.struct(
+            F.when(i == F.lit(0), F.lit(BOS))
+             .otherwise(F.element_at(ts, i)).alias("w1"),
+            w2.alias("w2")))
+    return (docs
+            .select(id_col, F.explode(pairs).alias("_p"))
+            .select(id_col, "_p.w1", "_p.w2"))
 
 
 def train_bigram_lm(docs: DataFrame, id_col: str = "doc_id",

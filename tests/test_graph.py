@@ -68,6 +68,34 @@ def test_connected_components_clusters_and_chain(spark):
                    20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    # checkpoint_dir switches the per-round lineage cut to a RELIABLE
+    # .checkpoint() (executor-loss-safe on a real cluster); results must
+    # be identical and checkpoint files must actually land in the dir
+    import os
+    from palladian_spark.graph import connected_components
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11)]
+    p = spark.createDataFrame(pairs, "a_id long, b_id long")
+    ckpt = str(tmp_path / "ckpt")
+    got = {r["node"]: r["component"]
+           for r in connected_components(p, checkpoint_dir=ckpt).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    assert any(files for _, _, files in os.walk(ckpt))
+
+
+def test_pagerank_reliable_checkpoint_matches_plain(spark, tmp_path):
+    from palladian_spark.graph import pagerank
+    rows = [(f"n{i}", f"n{(i * 7 + 3) % 50}") for i in range(200)]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    plain = sorted((r["node"], r["rank"])
+                   for r in pagerank(e, n_iter=3).collect())
+    ckpt = sorted((r["node"], r["rank"])
+                  for r in pagerank(
+                      e, n_iter=3,
+                      checkpoint_dir=str(tmp_path / "ck")).collect())
+    assert plain == ckpt
+
+
 def test_connected_components_long_chain_converges(spark):
     # diameter > a few: propagation must iterate to fixpoint, not stop
     # after one round
