@@ -93,6 +93,60 @@ def _q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("conv_id", "turn_idx", "subj", "pred", "obj"))
 
 
+def _q_triple_pr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule gate as a driver-checked row: precision/recall of
+    the PIPELINE's emitted (conv_id, turn_idx, subj, pred, obj) triples
+    against the analytically-derived expected set (built straight from
+    the base tables — no pipeline code in the gold path), with the
+    ≥ 0.95 pass flags materialized.  The oracle derives gold the same
+    way twice, so any pipeline drift shows up as a hash mismatch on the
+    count/precision/recall columns, not a silent pass."""
+    keys = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    pred = _q_triples(spark, sf_dir).select(keys).distinct()
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    base = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .select(
+                F.concat(F.lit("conv-"), F.col("l_orderkey").cast("string"))
+                .alias("conv_id"),
+                F.col("l_linenumber").cast("int").alias("turn_idx"),
+                F.concat(F.lit("Customer C"),
+                         F.col("o_custkey").cast("string")).alias("cust"),
+                F.concat(F.lit("Supplier S"),
+                         F.col("l_suppkey").cast("string")).alias("supp"),
+                F.concat(F.lit("Nation N"),
+                         F.col("s_nationkey").cast("string")).alias("nat")))
+    gold = (base.select("conv_id", "turn_idx",
+                        F.col("cust").alias("subj"),
+                        F.lit("works_for").alias("pred"),
+                        F.col("supp").alias("obj"))
+            .unionByName(base.select("conv_id", "turn_idx",
+                                     F.col("supp").alias("subj"),
+                                     F.lit("located_in").alias("pred"),
+                                     F.col("nat").alias("obj")))
+            .distinct())
+
+    j = (pred.withColumn("_p", F.lit(1))
+         .join(gold.withColumn("_g", F.lit(1)), keys, "full_outer"))
+    return (j.agg(F.sum("_p").alias("n_pred"),
+                  F.sum("_g").alias("n_gold"),
+                  F.sum(F.when(F.col("_p").isNotNull()
+                               & F.col("_g").isNotNull(), 1)).alias("n_match"))
+            .select(F.col("n_pred").cast("bigint").alias("n_pred"),
+                    F.col("n_gold").cast("bigint").alias("n_gold"),
+                    F.col("n_match").cast("bigint").alias("n_match"),
+                    F.round(F.col("n_match") / F.col("n_pred"), 6)
+                    .alias("precision"),
+                    F.round(F.col("n_match") / F.col("n_gold"), 6)
+                    .alias("recall"))
+            .select("*",
+                    ((F.col("precision") >= 0.95) & (F.col("recall") >= 0.95))
+                    .cast("int").alias("gate_pass")))
+
+
 def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 keywords per document by smoothed tf-idf — ranking on the
     ROUNDED score with term-asc tie-break keeps the row set identical
@@ -357,8 +411,14 @@ def _q_ngram_dice(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = g.select(F.col("p_partkey").alias("b_key"), F.col("p_brand").alias("b_brand"),
                  F.col("lname").alias("b_lname"), F.col("grams").alias("b_g"),
                  F.col("n_grams").alias("b_n"))
+    # length-band pruning, sound for the 0.5 threshold: |A∩B| ≤ min(a_n,
+    # b_n), so dice ≥ 0.5 ⟺ 2·|A∩B| ≥ a_n + b_n ⟹ 3·min ≥ max.  Pairs
+    # outside the band can never pass the final filter (equal-lname pairs
+    # have equal gram counts, so the 1.0 special case survives too) —
+    # same result set, fewer per-pair intersections materialized.
+    band = (F.lit(3) * F.least("a_n", "b_n")) >= F.greatest("a_n", "b_n")
     pairs = a.join(b, (F.col("a_brand") == F.col("b_brand"))
-                   & (F.col("a_key") < F.col("b_key")))
+                   & (F.col("a_key") < F.col("b_key")) & band)
     inter = F.size(F.array_intersect("a_g", "b_g"))
     dice = F.when(F.col("a_lname") == F.col("b_lname"), F.lit(1.0)) \
         .otherwise(2.0 * inter / (F.col("a_n") + F.col("b_n")))
@@ -995,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity": _q_user_activity,
         "candidates_stringtagger": _q_candidates,
         "kg_triples": _q_triples,
+        "triple_pr_gate": _q_triple_pr_gate,
         "kg_degrees": _q_kg_degrees,
         "kg_pagerank": _q_kg_pagerank,
         "dedup_components": _q_dedup_components,
@@ -1689,6 +1750,24 @@ SELECT DISTINCT conv_id, turn_idx, cust AS subj, 'works_for' AS pred,
 FROM base
 UNION
 SELECT DISTINCT conv_id, turn_idx, supp, 'located_in', nat FROM base
+""",
+        # gold derived twice from the base tables: the Spark side joins
+        # the real PIPELINE output against its copy, so drift breaks the
+        # hash on the count/precision/recall columns
+        "triple_pr_gate": _BASE_CTE + """
+, g AS (
+  SELECT DISTINCT conv_id, turn_idx, cust AS subj, 'works_for' AS pred,
+         supp AS obj
+  FROM base
+  UNION
+  SELECT DISTINCT conv_id, turn_idx, supp, 'located_in', nat FROM base
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pred,
+       CAST(count(*) AS BIGINT) AS n_gold,
+       CAST(count(*) AS BIGINT) AS n_match,
+       CAST(1.0 AS DOUBLE) AS precision, CAST(1.0 AS DOUBLE) AS recall,
+       CAST(1 AS INT) AS gate_pass
+FROM g
 """,
         "link_entities": """
 SELECT '  supplier s' || CAST(s_suppkey AS VARCHAR) || ' ' AS value,
