@@ -97,15 +97,17 @@ UNSEEN_FIXTURES = [
 
 
 def test_unseen_word_generalization():
-    """Raised round-3 bar: the widened corpus + flattened weights must
-    generalize to words the model has never seen (round 2's slice scored
-    ~0.19 on this set)."""
-    from palladian_spark.data.pos_corpus import POS_CORPUS
-    corpus_words = {w for w, _ in POS_CORPUS}
+    """Raised round-4 bar (was 0.6): the public-domain running-text
+    slice + the -eams/-ed/place-name widening score 0.875 on this
+    held-out set (round 2's slice scored ~0.19; round 3's ~0.75)."""
+    from palladian_spark.data.pos_corpus import (
+        POS_CORPUS, POS_CORPUS_WEIGHTED)
+    corpus_words = {w for w, _ in POS_CORPUS} \
+        | {w for w, _, _ in POS_CORPUS_WEIGHTED}
     assert not ({w for w, _ in UNSEEN_FIXTURES} & corpus_words), \
         "fixture leaked into the corpus"
     tagger = UniversalPosTagger()
     correct = sum(tagger.tag_word(w) == want for w, want in UNSEEN_FIXTURES)
-    assert correct / len(UNSEEN_FIXTURES) >= 0.6, [
+    assert correct / len(UNSEEN_FIXTURES) >= 0.8, [
         (w, want, tagger.tag_word(w)) for w, want in UNSEEN_FIXTURES
         if tagger.tag_word(w) != want]
