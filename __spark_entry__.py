@@ -286,6 +286,17 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select("node", "component")
 
 
+def _q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same near-dup cluster resolution as dedup_components, computed by
+    the alternating large-star/small-star algorithm (O(log n) rounds —
+    the deep-component scale path); identical labeling, same oracle."""
+    from palladian_spark.graph import connected_components_star
+    from palladian_spark.operators.dedup import minhash_dedup_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_dedup_pairs(docs, threshold=0.2)
+    return connected_components_star(pairs).select("node", "component")
+
+
 def _q_link_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity linking via normalized-key broadcast join (SURVEY.md §2.6):
     noisy mention values (lowercased, padded) → canonical entity ids."""
@@ -1053,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "real_sentences": _q_real_sentences,
         "sessionize_events": _q_sessionize,
         "user_activity": _q_user_activity,
+        "dedup_components_star": _q_dedup_components_star,
         "candidates_stringtagger": _q_candidates,
         "kg_triples": _q_triples,
         "triple_pr_gate": _q_triple_pr_gate,
@@ -1297,6 +1309,24 @@ SELECT a_id, b_id,
 FROM cand JOIN sh x ON a_id = x.doc_id JOIN sh y ON b_id = y.doc_id
 WHERE round(len(list_intersect(x.s, y.s))::DOUBLE
             / len(list_distinct(list_concat(x.s, y.s))), 6) >= 0.2
+"""
+
+# transitive closure over the LSH pair graph → (node, min reachable id);
+# verifies BOTH connected-components implementations (min-label
+# propagation and large-star/small-star) — they compute the same labels
+_CC_ORACLE_SQL = """
+WITH RECURSIVE cc_pairs AS (
+  SELECT a_id, b_id FROM (""" + _LSH_PAIRS_SQL + """)
+), cc_e AS (
+  SELECT a_id AS u, b_id AS v FROM cc_pairs
+  UNION SELECT b_id, a_id FROM cc_pairs
+), cc_nodes AS (SELECT DISTINCT u AS node FROM cc_e),
+cc_reach AS (
+  SELECT node AS u, node AS v FROM cc_nodes
+  UNION
+  SELECT r.u, cc_e.v FROM cc_reach r JOIN cc_e ON r.v = cc_e.u
+)
+SELECT u AS node, min(v) AS component FROM cc_reach GROUP BY u
 """
 
 
@@ -1713,20 +1743,11 @@ FROM documents d LEFT JOIN folded f ON d.doc_id = f.doc_id
         # outer CTE names prefixed cc_: DuckDB resolves the embedded
         # pairs query's own CTEs ('e', 'sig', …) against the OUTER scope
         # when names collide
-        "dedup_components": """
-WITH RECURSIVE cc_pairs AS (
-  SELECT a_id, b_id FROM (""" + _LSH_PAIRS_SQL + """)
-), cc_e AS (
-  SELECT a_id AS u, b_id AS v FROM cc_pairs
-  UNION SELECT b_id, a_id FROM cc_pairs
-), cc_nodes AS (SELECT DISTINCT u AS node FROM cc_e),
-cc_reach AS (
-  SELECT node AS u, node AS v FROM cc_nodes
-  UNION
-  SELECT r.u, cc_e.v FROM cc_reach r JOIN cc_e ON r.v = cc_e.u
-)
-SELECT u AS node, min(v) AS component FROM cc_reach GROUP BY u
-""",
+        "dedup_components": _CC_ORACLE_SQL,
+        # the alternating large-star/small-star algorithm produces the
+        # SAME labeling (component = min reachable node id), so the same
+        # transitive-closure oracle verifies it
+        "dedup_components_star": _CC_ORACLE_SQL,
         "candidates_stringtagger": _BASE_CTE + """
 SELECT conv_id, turn_idx, 0 AS m_start,
        CAST(length(cust) AS INT) AS m_end, cust AS value,

@@ -127,6 +127,98 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85,
     return ranks
 
 
+def _edge_sig(e: DataFrame) -> tuple:
+    """(count, order-free checksum) fingerprint of an edge set — one agg
+    job, used as the fixpoint test instead of a full set comparison."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("chk")
+    ).first()
+    return (row["n"], row["chk"])
+
+
+def connected_components_star(pairs: DataFrame, src_col: str = "a_id",
+                              dst_col: str = "b_id",
+                              max_iter: int = 30,
+                              checkpoint_dir: str | None = None,
+                              return_rounds: bool = False):
+    """(node, component) labels via the alternating large-star /
+    small-star algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — O(log n) rounds versus
+    O(diameter) for :func:`connected_components`' min-label
+    propagation.
+
+    Each round rewrites the edge set with two grouped passes:
+
+      * large-star — per node ``u``, let ``m = min({u} ∪ N(u))``;
+        re-point every strictly larger neighbor ``v > u`` at ``m``.
+      * small-star — orient each edge child→parent (``u = max``),
+        group by child, and re-point the child and all its parents at
+        the minimum parent.
+
+    At the fixpoint every component is a star centered on its minimum
+    node id, so the labeling (component id = min reachable node) is
+    IDENTICAL to min-label propagation's — both are min-based and
+    deterministic, and the same transitive-closure SQL oracle verifies
+    either.  Use this variant when components may be DEEP (long chains
+    from transitive near-dup links at full-corpus scale); for shallow
+    LSH dup clusters the simpler propagation is fine.
+
+    Per-round cost: two groupBy shuffles over the edge set (which only
+    shrinks toward one edge per non-root node) + one fingerprint agg
+    for the fixpoint test.  ``checkpoint_dir`` makes the per-round
+    lineage cut executor-loss-safe, as in :func:`connected_components`.
+    ``return_rounds`` additionally returns the number of rounds taken
+    (for the O(log n) convergence evidence in tests).
+    """
+    raw = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    nodes = (raw.select(F.col("u").alias("node"))
+             .union(raw.select(F.col("v").alias("node"))).distinct())
+    e = raw.where(F.col("u") != F.col("v")).distinct()
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        und = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (und.groupBy("u").agg(F.min("v").alias("_mn"))
+             .select("u", F.least("_mn", F.col("u")).alias("m")))
+        return (und.join(m, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v")).distinct())
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        # orient child→parent: child = max endpoint
+        o = edges.select(F.greatest("u", "v").alias("u"),
+                         F.least("u", "v").alias("v"))
+        m = o.groupBy("u").agg(F.min("v").alias("m"))
+        repoint = (o.join(m, "u")
+                   .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        child = m.select(F.col("u"), F.col("m").alias("v"))
+        return (repoint.union(child)
+                .where(F.col("u") != F.col("v")).distinct())
+
+    rounds = 0
+    sig = _edge_sig(e)
+    for _ in range(max_iter):
+        e = small_star(large_star(e))
+        e = _lineage_cut(e, checkpoint_dir, eager=True)
+        rounds += 1
+        new_sig = _edge_sig(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixpoint: e is (child, root) star edges; roots/isolated nodes map
+    # to themselves.  min-agg per child is defensive: if max_iter cut the
+    # loop short of the star fixpoint, min(parent) is still deterministic.
+    parent = (e.groupBy(F.col("u").alias("node"))
+              .agg(F.min("v").alias("_root")))
+    labels = (nodes.join(parent, "node", "left")
+              .select("node", F.coalesce("_root", "node").alias("component")))
+    if return_rounds:
+        return labels, rounds
+    return labels
+
+
 def connected_components(pairs: DataFrame, src_col: str = "a_id",
                          dst_col: str = "b_id",
                          max_iter: int = 50,

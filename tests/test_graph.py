@@ -96,6 +96,48 @@ def test_pagerank_reliable_checkpoint_matches_plain(spark, tmp_path):
     assert plain == ckpt
 
 
+def test_star_cc_matches_min_label_on_random_graphs(spark):
+    # large-star/small-star must produce EXACTLY the same labeling as
+    # min-label propagation (component id = min reachable node) — both
+    # are min-based and deterministic
+    from palladian_spark.graph import (connected_components,
+                                       connected_components_star)
+    for seed in (7, 23):
+        rows = [((i * seed + 3) % 60, (i * 13 + seed) % 60)
+                for i in range(80)]
+        p = spark.createDataFrame(rows, "a_id long, b_id long")
+        ml = sorted((r["node"], r["component"])
+                    for r in connected_components(p).collect())
+        st = sorted((r["node"], r["component"])
+                    for r in connected_components_star(p).collect())
+        assert ml == st
+
+
+def test_star_cc_log_rounds_on_long_path(spark):
+    # the point of the alternating algorithm: a 64-edge path (diameter
+    # 64) must converge in O(log n) rounds, not O(diameter)
+    from palladian_spark.graph import connected_components_star
+    n = 64
+    p = spark.createDataFrame([(i, i + 1) for i in range(n)],
+                              "a_id long, b_id long")
+    labels, rounds = connected_components_star(p, return_rounds=True)
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+    assert rounds <= 10, rounds     # log2(65) ≈ 6 + slack; far below 64
+
+
+def test_star_cc_self_pairs_and_strings(spark):
+    # self-pairs are inert; string ids order lexicographically, matching
+    # the propagation variant and the SQL oracle's min()
+    from palladian_spark.graph import connected_components_star
+    p = spark.createDataFrame(
+        [("d3", "d3"), ("d10", "d2"), ("d2", "d7")],
+        "a_id string, b_id string")
+    got = {r["node"]: r["component"]
+           for r in connected_components_star(p).collect()}
+    assert got == {"d3": "d3", "d10": "d10", "d2": "d10", "d7": "d10"}
+
+
 def test_connected_components_long_chain_converges(spark):
     # diameter > a few: propagation must iterate to fixpoint, not stop
     # after one round
