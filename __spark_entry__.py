@@ -630,6 +630,22 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(docs)
 
 
+def _q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition fractions (dup-token /
+    top-token / top-bigram) — the boilerplate-and-spam curation signal."""
+    from palladian_spark.operators.text_quality import repetition_scores
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_scores(docs)
+
+
+def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: per-doc email/IPv4/phone counts + redacted text
+    (fixed email → IP → phone replacement order, codegen-only)."""
+    from palladian_spark.operators.pii import scrub_pii
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return scrub_pii(docs)
+
+
 def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenization counting."""
     from palladian_spark.operators.text_quality import bpe_token_counts
@@ -1054,6 +1070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of this block was absent from the round-3 sample.
         "ann_lsh_top1": _q_ann_lsh_top1,
         "ann_ivf_top1": _q_ann_ivf_top1,
+        "repetition_scores": _q_repetition_scores,
+        "scrub_pii": _q_scrub_pii,
         "quantize_embeddings": _q_quantize_embeddings,
         "conversation_stats": _q_conversation_stats,
         "cooccurrence_document": _q_cooccurrence_document,
@@ -1469,6 +1487,22 @@ SELECT node, round(r, 6) AS rank FROM i3
 """
 
 
+def _scrub_pii_oracle() -> str:
+    """Replays pii.scrub_pii byte-for-byte: the patterns are interpolated
+    from the module constants (RE2 ∩ Java regex subset), counts taken on
+    the original text, replacements chained in the same fixed order.
+    DuckDB's regexp_replace needs the explicit 'g' flag (Spark is always
+    global)."""
+    from palladian_spark.operators.pii import _RULES
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{name}s"
+        for name, pat, _ in _RULES)
+    red = "text"
+    for _, pat, placeholder in _RULES:
+        red = f"regexp_replace({red}, '{pat}', '{placeholder}', 'g')"
+    return f"SELECT doc_id,\n  {counts},\n  {red} AS redacted\nFROM documents"
+
+
 def _curate_corpus_oracle() -> str:
     """Composition oracle: the quality gate and exact-dedup window feed
     the SAME LSH pairs SQL (re-pointed at the survivors CTE), then the
@@ -1524,6 +1558,30 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ann_lsh_top1": _ann_lsh_oracle(),
         "ann_ivf_top1": _ann_ivf_oracle(),
+        "repetition_scores": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+tc AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(ts) AS w FROM t) GROUP BY 1, 2
+), ta AS (
+  SELECT doc_id, sum(c) AS n, max(c) AS maxt, count(*) AS nd
+  FROM tc GROUP BY 1
+), bc AS (
+  SELECT doc_id, b, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest([ts[i - 1] || ' ' || ts[i]
+                       FOR i IN range(2, len(ts) + 1)]) AS b
+        FROM t) GROUP BY 1, 2
+), ba AS (
+  SELECT doc_id, sum(c) AS nb, max(c) AS maxb FROM bc GROUP BY 1
+)
+SELECT ta.doc_id, CAST(n AS INT) AS n_tokens,
+       round(1.0 - nd::DOUBLE / n, 6) AS dup_token_frac,
+       round(maxt::DOUBLE / n, 6) AS top_token_frac,
+       round(COALESCE(maxb::DOUBLE / nb, 0.0), 6) AS top_bigram_frac
+FROM ta LEFT JOIN ba USING (doc_id)
+""",
+        "scrub_pii": _scrub_pii_oracle(),
         "curate_corpus": _curate_corpus_oracle(),
         "decontamination": """
 WITH g AS (

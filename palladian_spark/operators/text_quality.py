@@ -209,3 +209,50 @@ def rolling_fingerprints(docs: DataFrame, id_col: str = "doc_id",
         F.filter(hashes, lambda h: h % keep_mod == 0))
     return (docs
             .select(id_col, F.explode(kept).alias("fingerprint")))
+
+
+def repetition_scores(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    appendix A1 repetition filters, adapted to single-line documents):
+    documents dominated by a few repeated tokens/phrases are boilerplate
+    or spam and get filtered before training.
+
+    Returns (id, n_tokens, dup_token_frac, top_token_frac,
+    top_bigram_frac) where
+
+      * dup_token_frac  = 1 − distinct_tokens / n_tokens
+      * top_token_frac  = count of the most frequent token / n_tokens
+      * top_bigram_frac = count of the most frequent word bigram /
+                          n_bigrams (0.0 for single-token docs)
+
+    Shape: bigrams are built INSIDE the token array (transform + null
+    filter — same shape as lm_perplexity, no sort window), then token
+    and bigram frequencies are two explode → two-level hash-agg chains
+    (both map-side combinable) merged with one per-doc join — the
+    cheapest distributed form; nothing driver-side.
+    """
+    ts = _tokens(F.col(text_col))
+    tok = (docs.select(id_col, F.explode(ts).alias("_t"))
+           .groupBy(id_col, "_t").agg(F.count(F.lit(1)).alias("_c"))
+           .groupBy(id_col).agg(F.sum("_c").alias("_n"),
+                                F.max("_c").alias("_maxt"),
+                                F.count(F.lit(1)).alias("_nd")))
+    bg_arr = F.filter(
+        F.transform(ts, lambda w2, i: F.when(
+            i > 0, F.concat(F.element_at(ts, i), F.lit(" "), w2))),
+        lambda x: x.isNotNull())
+    big = (docs.select(id_col, F.explode(bg_arr).alias("_b"))
+           .groupBy(id_col, "_b").agg(F.count(F.lit(1)).alias("_c"))
+           .groupBy(id_col).agg(F.sum("_c").alias("_nb"),
+                                F.max("_c").alias("_maxb")))
+    return (tok.join(big, id_col, "left")
+            .select(id_col,
+                    F.col("_n").cast("int").alias("n_tokens"),
+                    F.round(F.lit(1.0) - F.col("_nd") / F.col("_n"), 6)
+                    .alias("dup_token_frac"),
+                    F.round(F.col("_maxt") / F.col("_n"), 6)
+                    .alias("top_token_frac"),
+                    F.round(F.coalesce(F.col("_maxb") / F.col("_nb"),
+                                       F.lit(0.0)), 6)
+                    .alias("top_bigram_frac")))
