@@ -262,6 +262,41 @@ def _q_kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", "out_degree", "in_degree")
 
 
+def _q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    entity CO-MENTION graph (entities asserted together in the same
+    turn's triples, pairwise).  The works_for/located_in KG itself is
+    3-layer (cust→supp→nat) and triangle-free; co-mention closes the
+    cust–nat side, so this is the graph a KG consumer actually runs
+    community/cohesion analytics on.  Degree-ordered wedge join —
+    O(√m) oriented out-degree, see graph.kg_triangles."""
+    from pyspark.storagelevel import StorageLevel
+    from palladian_spark.graph import kg_triangles
+    # persist: the triple table feeds three branches (direct pairs +
+    # the two closure sides) — without it the NER kernel re-runs per
+    # branch
+    t = _q_triples(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    # co-mention = the two entities of each assertion, plus the 2-hop
+    # closure through the SHARED entity within the turn (cust—supp +
+    # supp—nat ⇒ cust—nat).  A naive per-(conv, turn) all-pairs
+    # self-join would also pair entities across the duplicate
+    # (conv_id, turn_idx) keys the derived transcripts contain by
+    # construction (supp–supp edges from unrelated assertions) — the
+    # keyed equi-join below is both the correct semantics and the
+    # cheaper plan.
+    direct = t.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+    wf = (t.where(F.col("pred") == "works_for")
+          .select("conv_id", "turn_idx", F.col("subj").alias("cust"),
+                  F.col("obj").alias("mid")))
+    li = (t.where(F.col("pred") == "located_in")
+          .select("conv_id", "turn_idx", F.col("subj").alias("mid"),
+                  F.col("obj").alias("nat")))
+    closure = (wf.join(li, ["conv_id", "turn_idx", "mid"])
+               .select(F.col("cust").alias("u"), F.col("nat").alias("v")))
+    return kg_triangles(direct.union(closure)) \
+        .select("node", "degree", "triangles", "clustering")
+
+
 def _q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 iterations, d=0.85) over the entity graph.  Each
     iteration's contribution sum is decimal-exact (order-independent),
@@ -1072,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_top1": _q_ann_ivf_top1,
         "repetition_scores": _q_repetition_scores,
         "scrub_pii": _q_scrub_pii,
+        "kg_triangles": _q_kg_triangles,
         "quantize_embeddings": _q_quantize_embeddings,
         "conversation_stats": _q_conversation_stats,
         "cooccurrence_document": _q_cooccurrence_document,
@@ -1720,6 +1756,38 @@ SELECT COALESCE(o.node, i.node) AS node,
 FROM o FULL JOIN i ON o.node = i.node
 """,
         "kg_pagerank": _kg_pagerank_oracle(),
+        # co-mention graph: per turn the triple pair asserts
+        # {cust, supp, nat}; pairwise edges, then textbook a<b<c triangle
+        # join (tiny here; the Spark side's degree orientation is the
+        # scale path, the oracle only needs the same answer)
+        "kg_triangles": _BASE_CTE + """
+, ent AS (
+  SELECT conv_id, turn_idx, cust AS x, supp AS y FROM base
+  UNION SELECT conv_id, turn_idx, cust, nat FROM base
+  UNION SELECT conv_id, turn_idx, supp, nat FROM base
+), e AS (
+  SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+  FROM ent WHERE x <> y
+), d AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), tn AS (
+  SELECT node, count(*) AS t FROM (
+    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri) GROUP BY 1
+)
+SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(tn.t, 0) AS BIGINT) AS triangles,
+       round(CASE WHEN d.degree >= 2
+                  THEN 2.0 * COALESCE(tn.t, 0)
+                       / (d.degree * (d.degree - 1.0))
+                  ELSE 0.0 END, 6) AS clustering
+FROM d LEFT JOIN tn USING (node)
+""",
         "quantize_embeddings": """
 WITH s AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

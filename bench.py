@@ -71,6 +71,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "lm_perplexity",
         "decontamination",
         "decontamination_spans",
+        "repetition_scores",
+        "scrub_pii",
     ]
     queries = entrymod.queries()
     for name in headline:

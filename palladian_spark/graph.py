@@ -72,6 +72,77 @@ def kg_degrees(triples: DataFrame) -> DataFrame:
                     F.coalesce("in_degree", F.lit(0)).alias("in_degree")))
 
 
+def kg_triangles(edges: DataFrame, src_col: str = "u",
+                 dst_col: str = "v", cache: bool = True) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    undirected simple graph of ``edges`` (self-loops dropped, duplicate /
+    reversed edges collapsed).
+
+    Returns (node, degree, triangles, clustering) where ``clustering`` =
+    2·T(v) / (deg(v)·(deg(v)−1)) (0.0 when deg < 2), rounded to 6
+    decimals.  Nodes with no triangles still appear (count 0).
+
+    Shape: degree-ordered wedge enumeration (Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11) —
+    every edge is oriented from its lower-(degree, id) endpoint to its
+    higher one, so oriented out-degree is O(√m) and the wedge self-join
+    never melts on a celebrity node; each triangle is emitted exactly
+    once (at its lowest-ranked corner) and exploded to its three corners
+    for one map-side-combinable count agg.  All joins are plain hash
+    joins on node keys; nothing driver-side.
+
+    ``cache`` persists the distinct edge set and the oriented edge set
+    (each consumed by 2–3 downstream branches): without it, a lazy DAG
+    re-executes the full upstream plan — e.g. a whole NER pipeline —
+    once per branch.  MEMORY_AND_DISK, edge-table sized; disable only
+    when the input is already materialized.
+    """
+    from pyspark.storagelevel import StorageLevel
+    e = (edges
+         .select(F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+                 F.greatest(F.col(src_col), F.col(dst_col)).alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .distinct())
+    if cache:
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    deg = (e.select(F.col("u").alias("node"))
+           .unionAll(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    ed = (e.join(deg.select(F.col("node").alias("u"),
+                            F.col("degree").alias("du")), "u")
+          .join(deg.select(F.col("node").alias("v"),
+                           F.col("degree").alias("dv")), "v"))
+    # total order rank(x) = (deg(x), x); orient src → dst upward
+    u_first = (F.struct(F.col("du"), F.col("u"))
+               < F.struct(F.col("dv"), F.col("v")))
+    eo = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"))
+    if cache:
+        eo = eo.persist(StorageLevel.MEMORY_AND_DISK)
+    e1, e2 = eo.alias("e1"), eo.alias("e2")
+    wedges = (e1.join(e2, (F.col("e1.src") == F.col("e2.src"))
+                      & (F.struct(F.col("e1.ddeg"), F.col("e1.dst"))
+                         < F.struct(F.col("e2.ddeg"), F.col("e2.dst"))))
+              .select(F.col("e1.src").alias("a"),
+                      F.col("e1.dst").alias("b"),
+                      F.col("e2.dst").alias("c")))
+    closing = eo.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    tcount = (tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+              .groupBy("node").agg(F.count(F.lit(1)).alias("_t")))
+    return (deg.join(tcount, "node", "left")
+            .select("node", "degree",
+                    F.coalesce("_t", F.lit(0)).cast("bigint")
+                    .alias("triangles"),
+                    F.round(F.when(
+                        F.col("degree") >= 2,
+                        F.lit(2.0) * F.coalesce("_t", F.lit(0))
+                        / (F.col("degree") * (F.col("degree") - F.lit(1.0))))
+                        .otherwise(F.lit(0.0)), 6).alias("clustering")))
+
+
 def _exact_contrib_sum(col: str):
     """Order-independent double sum (same trick as events._exact_sum):
     per-row cast to decimal(38,18) makes the aggregation associative-
