@@ -619,6 +619,21 @@ def _q_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", "jaccard")
 
 
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot dedup: documents with doc_id < 250 are the
+    existing (already-deduped) corpus, the rest are the new crawl batch;
+    each new doc gets an exact-dup flag (hash semi-join vs base) and its
+    best verified near-dup base doc (LSH bands new×base only — the base
+    is never re-paired against itself).  threshold 0.2 mirrors
+    lsh_dedup_pairs so the cross-split matches are non-trivial."""
+    from palladian_spark.operators.dedup import incremental_dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+    return incremental_dedup(base, new, threshold=0.2) \
+        .select("doc_id", "dup_exact", "near_dup_of", "jaccard")
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprints (per-token md5 bit votes, majority)."""
     from palladian_spark.operators.dedup import simhash
@@ -1108,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": _q_repetition_scores,
         "scrub_pii": _q_scrub_pii,
         "kg_triangles": _q_kg_triangles,
+        "dedup_incremental": _q_dedup_incremental,
         "quantize_embeddings": _q_quantize_embeddings,
         "conversation_stats": _q_conversation_stats,
         "cooccurrence_document": _q_cooccurrence_document,
@@ -2200,6 +2216,53 @@ UNION ALL SELECT supp, 'CANDIDATE', nat, 'CANDIDATE', count(*)
 FROM dedup GROUP BY 1, 3
 """,
         "lsh_dedup_pairs": _LSH_PAIRS_SQL,
+        "dedup_incremental": """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(
+           [array_to_string(ts[i:i+2], ' ')
+            for i in range(1, greatest(len(ts) - 2, 1) + 1)]) s
+  FROM tok
+), e AS (SELECT doc_id, unnest(s) shingle FROM sh),
+sig AS (
+  SELECT doc_id,
+    min(('0x' || substr(md5('seed0|' || shingle), 1, 8))::BIGINT) m0,
+    min(('0x' || substr(md5('seed1|' || shingle), 1, 8))::BIGINT) m1,
+    min(('0x' || substr(md5('seed2|' || shingle), 1, 8))::BIGINT) m2,
+    min(('0x' || substr(md5('seed3|' || shingle), 1, 8))::BIGINT) m3,
+    min(('0x' || substr(md5('seed4|' || shingle), 1, 8))::BIGINT) m4,
+    min(('0x' || substr(md5('seed5|' || shingle), 1, 8))::BIGINT) m5,
+    min(('0x' || substr(md5('seed6|' || shingle), 1, 8))::BIGINT) m6,
+    min(('0x' || substr(md5('seed7|' || shingle), 1, 8))::BIGINT) m7
+  FROM e GROUP BY doc_id
+), band AS (
+  SELECT doc_id, 0 AS band, m0::VARCHAR || '_' || m1::VARCHAR AS key FROM sig
+  UNION ALL SELECT doc_id, 1, m2::VARCHAR || '_' || m3::VARCHAR FROM sig
+  UNION ALL SELECT doc_id, 2, m4::VARCHAR || '_' || m5::VARCHAR FROM sig
+  UNION ALL SELECT doc_id, 3, m6::VARCHAR || '_' || m7::VARCHAR FROM sig
+), cand AS (
+  SELECT DISTINCT n.doc_id n_id, b.doc_id b_id
+  FROM band n JOIN band b ON n.band = b.band AND n.key = b.key
+  WHERE n.doc_id >= 250 AND b.doc_id < 250
+), best AS (
+  SELECT n_id, b_id, jaccard,
+         row_number() OVER (PARTITION BY n_id
+                            ORDER BY jaccard DESC, b_id ASC) rn
+  FROM (
+    SELECT n_id, b_id,
+           round(len(list_intersect(x.s, y.s))::DOUBLE
+                 / len(list_distinct(list_concat(x.s, y.s))), 6) jaccard
+    FROM cand JOIN sh x ON n_id = x.doc_id JOIN sh y ON b_id = y.doc_id)
+  WHERE jaccard >= 0.2
+)
+SELECT d.doc_id,
+       md5(d.text) IN (SELECT md5(text) FROM documents
+                       WHERE doc_id < 250) AS dup_exact,
+       best.b_id AS near_dup_of, best.jaccard
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) best ON d.doc_id = best.n_id
+WHERE d.doc_id >= 250
+""",
         "simhash": """
 WITH tok AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) token

@@ -62,6 +62,22 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+def _banded(signatures: DataFrame, id_col: str, num_hashes: int,
+            band_size: int) -> DataFrame:
+    """(id, band, band_key) rows: the signature split into
+    ``num_hashes // band_size`` bands, keyed by the concatenated hashes."""
+    n_bands = num_hashes // band_size
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[F.col(f"minhash_{b * band_size + j}")
+                               for j in range(band_size)]).alias("band_key"))
+        for b in range(n_bands)])
+    return (signatures
+            .select(F.col(id_col), F.explode(bands).alias("bk"))
+            .select(id_col, "bk.band", "bk.band_key"))
+
+
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                         num_hashes: int = 8, band_size: int = 2) -> DataFrame:
     """Band the signature and self-join per (band, band_key) bucket.
@@ -71,16 +87,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     band key — skewed mega-buckets (boilerplate docs) are exactly what
     AQE skew-join splitting handles.
     """
-    n_bands = num_hashes // band_size
-    bands = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("_", *[F.col(f"minhash_{b * band_size + j}")
-                               for j in range(band_size)]).alias("band_key"))
-        for b in range(n_bands)])
-    banded = (signatures
-              .select(F.col(id_col), F.explode(bands).alias("bk"))
-              .select(id_col, "bk.band", "bk.band_key"))
+    banded = _banded(signatures, id_col, num_hashes, band_size)
     a = banded.select(F.col(id_col).alias("a_id"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("b_id"), "band", "band_key")
     return (a.join(b, ["band", "band_key"])
@@ -116,6 +123,72 @@ def minhash_dedup_pairs(docs: DataFrame, id_col: str = "doc_id",
             .select("a_id", "b_id",
                     F.round(jac, round_decimals).alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
+
+
+def incremental_dedup(base: DataFrame, new: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      num_hashes: int = 8, band_size: int = 2,
+                      shingle_k: int = 3, threshold: float = 0.5,
+                      round_decimals: int = 6) -> DataFrame:
+    """Dedupe a NEW document batch against an existing BASE corpus — the
+    snapshot-over-snapshot shape of a recurring crawl: the base is
+    already deduped, so it must never be re-paired against itself (no
+    base² work, only new×base).
+
+    One row per new doc: (id, dup_exact, near_dup_of, jaccard)
+
+      * ``dup_exact``   — the doc's text hash exists in base (semi-join
+        against the distinct base fingerprint set — at 100 TB the base
+        fingerprints are a compact table the join shuffles by hash; a dup
+        survives a re-crawl byte-identically, so md5(text) is the key).
+      * ``near_dup_of`` — the best-matching base doc id: MinHash bands of
+        NEW joined against bands of BASE (bucket cost |new_b|×|base_b|),
+        verified by exact shingle Jaccard ≥ ``threshold``, ranked by
+        rounded Jaccard DESC then base id ASC (the repo's deterministic
+        tie-break).  NULL (with NULL ``jaccard``) when nothing matches —
+        the doc is genuinely new.
+
+    Keep-set = NOT dup_exact AND near_dup_of IS NULL.
+    """
+    new_fp = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("_fp"))
+    base_fp = (base.select(F.md5(F.col(text_col)).alias("_fp")).distinct()
+               .withColumn("_in_base", F.lit(True)))
+    exact = (new_fp.join(base_fp, "_fp", "left")
+             .select(id_col, F.coalesce("_in_base", F.lit(False))
+                     .alias("dup_exact")))
+
+    sig_new = minhash_signatures(new, id_col, text_col, num_hashes, shingle_k)
+    sig_base = minhash_signatures(base, id_col, text_col, num_hashes,
+                                  shingle_k)
+    bn = _banded(sig_new, id_col, num_hashes, band_size) \
+        .select(F.col(id_col).alias("n_id"), "band", "band_key")
+    bb = _banded(sig_base, id_col, num_hashes, band_size) \
+        .select(F.col(id_col).alias("b_id"), "band", "band_key")
+    cand = bn.join(bb, ["band", "band_key"]).select("n_id", "b_id").distinct()
+
+    sh_new = new.select(F.col(id_col).alias("n_id"),
+                        token_shingles(F.col(text_col), shingle_k)
+                        .alias("n_sh"))
+    sh_base = base.select(F.col(id_col).alias("b_id"),
+                          token_shingles(F.col(text_col), shingle_k)
+                          .alias("b_sh"))
+    inter = F.size(F.array_intersect("n_sh", "b_sh"))
+    union = F.size(F.array_union("n_sh", "b_sh"))
+    jac = F.round(F.when(union == 0, F.lit(1.0)).otherwise(inter / union),
+                  round_decimals)
+    from pyspark.sql import Window
+    verified = (cand.join(sh_new, "n_id").join(sh_base, "b_id")
+                .select("n_id", "b_id", jac.alias("jaccard"))
+                .where(F.col("jaccard") >= threshold))
+    best = (verified
+            .withColumn("_rn", F.row_number().over(
+                Window.partitionBy("n_id")
+                .orderBy(F.col("jaccard").desc(), F.col("b_id").asc())))
+            .where(F.col("_rn") == 1)
+            .select(F.col("n_id").alias(id_col),
+                    F.col("b_id").alias("near_dup_of"), "jaccard"))
+    return (exact.join(best, id_col, "left")
+            .select(id_col, "dup_exact", "near_dup_of", "jaccard"))
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
