@@ -253,6 +253,16 @@ def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(docs).select("doc_id", "quality")
 
 
+def _q_curate_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 composed curation pipeline: PII scrub → quality gate →
+    repetition gates → exact dedup → near-dup representatives, one
+    end-to-end oracle."""
+    from palladian_spark.operators.curation import curate_corpus_full
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curate_corpus_full(docs).select(
+        "doc_id", "quality", "dup_token_frac", "top_token_frac")
+
+
 def _q_kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph materialization: per-node degree profile over the distinct
     (subj, pred, obj) edge set of the full pipeline's triples — the
@@ -1124,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": _q_scrub_pii,
         "kg_triangles": _q_kg_triangles,
         "dedup_incremental": _q_dedup_incremental,
+        "curate_corpus_full": _q_curate_corpus_full,
         "quantize_embeddings": _q_quantize_embeddings,
         "conversation_stats": _q_conversation_stats,
         "cooccurrence_document": _q_cooccurrence_document,
@@ -1606,6 +1617,81 @@ WHERE d.node IS NULL
 """
 
 
+def _curate_full_oracle() -> str:
+    """curate_corpus_full composition oracle: the scrub chain is
+    interpolated from pii._RULES (byte-parity with the Spark side), the
+    quality/repetition algebra mirrors their standalone oracles but over
+    the scrubbed text, and the LSH-pairs SQL is re-pointed at the
+    survivors CTE exactly as in _curate_corpus_oracle.  All CTEs carry
+    the cf_ prefix (DuckDB resolves an embedded subquery's inner CTE
+    names against the outer WITH scope on collision)."""
+    from palladian_spark.operators.pii import _RULES
+    red = "text"
+    for _, pat, placeholder in _RULES:
+        red = f"regexp_replace({red}, '{pat}', '{placeholder}', 'g')"
+    pairs_on_surv = _LSH_PAIRS_SQL.replace("FROM documents",
+                                           "FROM cf_surv1")
+    return f"""
+WITH RECURSIVE cf_scrub AS (
+  SELECT doc_id, {red} AS text FROM documents
+), cf_t AS (
+  SELECT doc_id, text, string_split(text, ' ') ts, length(text) nc
+  FROM cf_scrub
+), cf_r AS (
+  SELECT doc_id, text,
+    len(list_distinct(ts))::DOUBLE / len(ts) dr,
+    len(list_filter(ts, x -> x IN ('the','a','and','of')))::DOUBLE
+      / len(ts) sr,
+    (nc - length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')))::DOUBLE
+      / nc nar
+  FROM cf_t
+), cf_q AS (
+  SELECT doc_id, text,
+         round(dr * (1.0 - nar)
+               * CASE WHEN sr >= 0.05 AND sr <= 0.6
+                      THEN 1.0 ELSE 0.5 END, 6) AS quality
+  FROM cf_r
+), cf_tc AS (
+  SELECT doc_id, w, count(*) c
+  FROM (SELECT doc_id, unnest(ts) w FROM cf_t) GROUP BY 1, 2
+), cf_ta AS (
+  SELECT doc_id, sum(c) n, max(c) maxt, count(*) nd FROM cf_tc GROUP BY 1
+), cf_rep AS (
+  SELECT doc_id, round(1.0 - nd::DOUBLE / n, 6) dup_token_frac,
+         round(maxt::DOUBLE / n, 6) top_token_frac
+  FROM cf_ta
+), cf_good AS (
+  SELECT q.doc_id, q.text, q.quality, r.dup_token_frac, r.top_token_frac
+  FROM cf_q q JOIN cf_rep r USING (doc_id)
+  WHERE q.quality >= 0.3 AND r.dup_token_frac <= 0.65
+    AND r.top_token_frac <= 0.2
+), cf_exact AS (
+  SELECT doc_id, text, quality, dup_token_frac, top_token_frac,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY doc_id) AS rn
+  FROM cf_good
+), cf_surv1 AS (
+  SELECT doc_id, text, quality, dup_token_frac, top_token_frac
+  FROM cf_exact WHERE rn = 1
+), cf_pairs AS (
+  SELECT a_id, b_id FROM ({pairs_on_surv})
+), cf_e AS (
+  SELECT a_id AS u, b_id AS v FROM cf_pairs
+  UNION SELECT b_id, a_id FROM cf_pairs
+), cf_nodes AS (SELECT DISTINCT u AS node FROM cf_e),
+cf_reach AS (
+  SELECT node AS u, node AS v FROM cf_nodes
+  UNION
+  SELECT r.u, cf_e.v FROM cf_reach r JOIN cf_e ON r.v = cf_e.u
+), cf_comp AS (
+  SELECT u AS node, min(v) AS component FROM cf_reach GROUP BY u
+), cf_drop AS (SELECT node FROM cf_comp WHERE node <> component)
+SELECT s.doc_id, s.quality, s.dup_token_frac, s.top_token_frac
+FROM cf_surv1 s LEFT JOIN cf_drop d ON s.doc_id = d.node
+WHERE d.node IS NULL
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "ann_lsh_top1": _ann_lsh_oracle(),
@@ -1635,6 +1721,7 @@ FROM ta LEFT JOIN ba USING (doc_id)
 """,
         "scrub_pii": _scrub_pii_oracle(),
         "curate_corpus": _curate_corpus_oracle(),
+        "curate_corpus_full": _curate_full_oracle(),
         "decontamination": """
 WITH g AS (
   SELECT doc_id, ts FROM (
