@@ -629,6 +629,17 @@ def _q_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", "jaccard")
 
 
+def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (Hamming ≤ 3 over 16-bit
+    fingerprints, 4 bit-bands).  The oracle is the brute-force ALL-PAIRS
+    Hamming filter — so the hash match also PROVES the pigeonhole
+    recall guarantee (bands lose no pair at d ≤ n_bands − 1), not just
+    replays the banding."""
+    from palladian_spark.operators.dedup import simhash_neardup_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_neardup_pairs(docs).select("a_id", "b_id", "hamming")
+
+
 def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-over-snapshot dedup: documents with doc_id < 250 are the
     existing (already-deduped) corpus, the rest are the new crawl batch;
@@ -1135,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _q_kg_triangles,
         "dedup_incremental": _q_dedup_incremental,
         "curate_corpus_full": _q_curate_corpus_full,
+        "simhash_neardup": _q_simhash_neardup,
         "quantize_embeddings": _q_quantize_embeddings,
         "conversation_stats": _q_conversation_stats,
         "cooccurrence_document": _q_cooccurrence_document,
@@ -2366,6 +2378,30 @@ SELECT doc_id,
        CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << k) ELSE 0 END)
             AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
+""",
+        # brute-force all-pairs Hamming ≤ 3: equality with the banded
+        # Spark side proves the banding's pigeonhole recall guarantee
+        "simhash_neardup": """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) token
+  FROM documents
+), v AS (
+  SELECT doc_id, ('0x' || substr(md5('seed0|' || token), 1, 8))::BIGINT h
+  FROM tok
+), bits AS (
+  SELECT doc_id, k,
+         sum(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) vote
+  FROM v, range(0, 32) t(k) GROUP BY 1, 2
+), fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << k) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id a_id, b.doc_id b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
         "ngram_jaccard_neardup": """
 WITH g AS (

@@ -73,6 +73,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "decontamination_spans",
         "repetition_scores",
         "scrub_pii",
+        "dedup_incremental",
+        "curate_corpus_full",
+        "simhash_neardup",
     ]
     queries = entrymod.queries()
     for name in headline:
@@ -101,16 +104,29 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # NER kernel as their input because contract queries are
     # self-contained by design; see NOTES.md)
     from pyspark.sql import functions as F
-    from palladian_spark.graph import kg_degrees, pagerank
+    from palladian_spark.graph import kg_degrees, kg_triangles, pagerank
     t0 = time.time()
     triples = queries["kg_triples"](spark, sf_dir).cache()
     triples.count()
     extra["graph_materialize_triples_sec"] = round(time.time() - t0, 3)
+    def _comention_edges():
+        wf = (triples.where(F.col("pred") == "works_for")
+              .select("conv_id", "turn_idx", F.col("subj").alias("cust"),
+                      F.col("obj").alias("mid")))
+        li = (triples.where(F.col("pred") == "located_in")
+              .select("conv_id", "turn_idx", F.col("subj").alias("mid"),
+                      F.col("obj").alias("nat")))
+        closure = (wf.join(li, ["conv_id", "turn_idx", "mid"])
+                   .select(F.col("cust").alias("u"), F.col("nat").alias("v")))
+        return triples.select(F.col("subj").alias("u"),
+                              F.col("obj").alias("v")).union(closure)
+
     for gname, gfn in [
         ("kg_degrees", lambda: kg_degrees(triples)),
         ("kg_pagerank", lambda: pagerank(
             triples.select(F.col("subj").alias("src"),
                            F.col("obj").alias("dst")), n_iter=3)),
+        ("kg_triangles", lambda: kg_triangles(_comention_edges())),
     ]:
         best = None
         for _ in range(2):

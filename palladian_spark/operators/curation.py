@@ -95,8 +95,13 @@ def curate_corpus_full(docs: DataFrame, min_quality: float = 0.3,
                    & (F.col("top_token_frac") <= max_top_token_frac)))
 
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    # persist: the survivor set feeds the MinHash signatures, the verify
+    # shingles AND the final anti-join — without it the scrub + quality
+    # + repetition chain re-runs per consumer
+    from pyspark.storagelevel import StorageLevel
     surv1 = (good.withColumn("_rn", F.row_number().over(w))
-             .where(F.col("_rn") == 1).drop("_rn"))
+             .where(F.col("_rn") == 1).drop("_rn")
+             .persist(StorageLevel.MEMORY_AND_DISK))
 
     pairs = minhash_dedup_pairs(surv1, threshold=near_dup_threshold,
                                 id_col=id_col, text_col=text_col)
