@@ -263,6 +263,17 @@ def _q_curate_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "quality", "dup_token_frac", "top_token_frac")
 
 
+def _q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language curation funnel for curate_corpus_full: every doc
+    attributed to the FIRST stage that dropped it; counts sum to n_docs
+    per language; kept-set mean quality decimal-exact."""
+    from palladian_spark.operators.curation import curation_report
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curation_report(docs).select(
+        "lang", "n_docs", "n_quality_fail", "n_repetition_fail",
+        "n_exact_dup", "n_near_dup", "n_kept", "kept_mean_quality")
+
+
 def _q_kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph materialization: per-node degree profile over the distinct
     (subj, pred, obj) edge set of the full pipeline's triples — the
@@ -1147,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "curate_corpus_full": _q_curate_corpus_full,
         "simhash_neardup": _q_simhash_neardup,
+        "curation_report": _q_curation_report,
         "quantize_embeddings": _q_quantize_embeddings,
         "conversation_stats": _q_conversation_stats,
         "cooccurrence_document": _q_cooccurrence_document,
@@ -1704,6 +1716,106 @@ WHERE d.node IS NULL
 """
 
 
+def _curation_report_oracle() -> str:
+    """Funnel oracle: the same cf_ construction as _curate_full_oracle,
+    but every doc keeps flowing with flags, attributed to the first
+    dropping stage, grouped per language."""
+    from palladian_spark.operators.pii import _RULES
+    red = "text"
+    for _, pat, placeholder in _RULES:
+        red = f"regexp_replace({red}, '{pat}', '{placeholder}', 'g')"
+    pairs_on_surv = _LSH_PAIRS_SQL.replace("FROM documents",
+                                           "FROM cf_surv1")
+    return f"""
+WITH RECURSIVE cf_scrub AS (
+  SELECT doc_id, {red} AS text FROM documents
+), cf_t AS (
+  SELECT doc_id, text, string_split(text, ' ') ts, length(text) nc
+  FROM cf_scrub
+), cf_r AS (
+  SELECT doc_id, text,
+    len(list_distinct(ts))::DOUBLE / len(ts) dr,
+    len(list_filter(ts, x -> x IN ('the','a','and','of')))::DOUBLE
+      / len(ts) sr,
+    (nc - length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')))::DOUBLE
+      / nc nar
+  FROM cf_t
+), cf_q AS (
+  SELECT doc_id, text,
+         round(dr * (1.0 - nar)
+               * CASE WHEN sr >= 0.05 AND sr <= 0.6
+                      THEN 1.0 ELSE 0.5 END, 6) AS quality
+  FROM cf_r
+), cf_tc AS (
+  SELECT doc_id, w, count(*) c
+  FROM (SELECT doc_id, unnest(ts) w FROM cf_t) GROUP BY 1, 2
+), cf_ta AS (
+  SELECT doc_id, sum(c) n, max(c) maxt, count(*) nd FROM cf_tc GROUP BY 1
+), cf_rep AS (
+  SELECT doc_id, round(1.0 - nd::DOUBLE / n, 6) dup_token_frac,
+         round(maxt::DOUBLE / n, 6) top_token_frac
+  FROM cf_ta
+), cf_scored AS (
+  SELECT q.doc_id, q.text, q.quality, r.dup_token_frac,
+         r.top_token_frac, d.lang
+  FROM cf_q q JOIN cf_rep r USING (doc_id)
+  JOIN documents d USING (doc_id)
+), cf_good AS (
+  SELECT * FROM cf_scored
+  WHERE quality >= 0.3 AND dup_token_frac <= 0.65
+    AND top_token_frac <= 0.2
+), cf_exact AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY doc_id) AS rn
+  FROM cf_good
+), cf_surv1 AS (
+  SELECT doc_id, text FROM cf_exact WHERE rn = 1
+), cf_pairs AS (
+  SELECT a_id, b_id FROM ({pairs_on_surv})
+), cf_e AS (
+  SELECT a_id AS u, b_id AS v FROM cf_pairs
+  UNION SELECT b_id, a_id FROM cf_pairs
+), cf_nodes AS (SELECT DISTINCT u AS node FROM cf_e),
+cf_reach AS (
+  SELECT node AS u, node AS v FROM cf_nodes
+  UNION
+  SELECT r.u, cf_e.v FROM cf_reach r JOIN cf_e ON r.v = cf_e.u
+), cf_comp AS (
+  SELECT u AS node, min(v) AS component FROM cf_reach GROUP BY u
+), cf_drop AS (SELECT node FROM cf_comp WHERE node <> component),
+cf_status AS (
+  SELECT s.lang, s.quality,
+         CASE WHEN s.quality < 0.3 THEN 'quality_fail'
+              WHEN s.dup_token_frac > 0.65 OR s.top_token_frac > 0.2
+                   THEN 'repetition_fail'
+              WHEN e.rn > 1 THEN 'exact_dup'
+              WHEN dr.node IS NOT NULL THEN 'near_dup'
+              ELSE 'kept' END AS st
+  FROM cf_scored s
+  LEFT JOIN cf_exact e USING (doc_id)
+  LEFT JOIN cf_drop dr ON s.doc_id = dr.node
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN st = 'quality_fail' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_quality_fail,
+       CAST(sum(CASE WHEN st = 'repetition_fail' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_repetition_fail,
+       CAST(sum(CASE WHEN st = 'exact_dup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact_dup,
+       CAST(sum(CASE WHEN st = 'near_dup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_near_dup,
+       CAST(sum(CASE WHEN st = 'kept' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       round(CAST(sum(CASE WHEN st = 'kept'
+                           THEN CAST(quality AS DECIMAL(38,9)) END)
+                  AS DOUBLE)
+             / sum(CASE WHEN st = 'kept' THEN 1 ELSE 0 END), 6)
+         AS kept_mean_quality
+FROM cf_status GROUP BY lang
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "ann_lsh_top1": _ann_lsh_oracle(),
@@ -1734,6 +1846,7 @@ FROM ta LEFT JOIN ba USING (doc_id)
         "scrub_pii": _scrub_pii_oracle(),
         "curate_corpus": _curate_corpus_oracle(),
         "curate_corpus_full": _curate_full_oracle(),
+        "curation_report": _curation_report_oracle(),
         "decontamination": """
 WITH g AS (
   SELECT doc_id, ts FROM (

@@ -110,3 +110,82 @@ def curate_corpus_full(docs: DataFrame, min_quality: float = 0.3,
         .select(F.col("node").alias(id_col))
     return (surv1.join(drop, id_col, "left_anti")
             .select(id_col, "quality", "dup_token_frac", "top_token_frac"))
+
+
+def curation_report(docs: DataFrame, min_quality: float = 0.3,
+                    near_dup_threshold: float = 0.2,
+                    max_dup_token_frac: float = 0.65,
+                    max_top_token_frac: float = 0.2,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    group_col: str = "lang") -> DataFrame:
+    """Per-``group_col`` curation FUNNEL for :func:`curate_corpus_full`
+    — the metrics/lineage table a production pipeline materializes next
+    to the curated output so every dropped document is accounted for:
+
+      (group, n_docs, n_quality_fail, n_repetition_fail, n_exact_dup,
+       n_near_dup, n_kept, kept_mean_quality)
+
+    Each doc is attributed to exactly ONE stage — the FIRST gate that
+    dropped it, in pipeline order (quality → repetition → exact dup →
+    near-dup cluster → kept), so the counts sum to n_docs per group.
+    ``kept_mean_quality`` is a decimal-exact (order-independent) mean
+    rounded to 6, keeping the whole report engine-replayable.
+
+    One extra shuffle over :func:`curate_corpus_full` (the final group
+    agg — map-side combinable); the expensive pair stage is shared
+    logic and again only ever sees the gate survivors.
+    """
+    from palladian_spark.graph import connected_components
+    from palladian_spark.operators.dedup import minhash_dedup_pairs
+    from palladian_spark.operators.pii import scrub_pii
+    from palladian_spark.operators.text_quality import (quality_scores,
+                                                        repetition_scores)
+    from pyspark.storagelevel import StorageLevel
+
+    scrubbed = (scrub_pii(docs, id_col=id_col, text_col=text_col)
+                .select(id_col, F.col("redacted").alias(text_col)))
+    q = quality_scores(scrubbed, id_col=id_col, text_col=text_col) \
+        .select(id_col, "quality")
+    rep = repetition_scores(scrubbed, id_col=id_col, text_col=text_col) \
+        .select(id_col, "dup_token_frac", "top_token_frac")
+    scored = (scrubbed
+              .join(q, id_col).join(rep, id_col)
+              .join(docs.select(id_col, group_col), id_col)
+              .persist(StorageLevel.MEMORY_AND_DISK))
+
+    q_fail = F.col("quality") < min_quality
+    r_fail = (F.col("dup_token_frac") > max_dup_token_frac) \
+        | (F.col("top_token_frac") > max_top_token_frac)
+    passed = scored.where(~q_fail & ~r_fail)
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    ranked = passed.withColumn("_rn", F.row_number().over(w))
+    surv1 = ranked.where(F.col("_rn") == 1).drop("_rn") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+    pairs = minhash_dedup_pairs(surv1, threshold=near_dup_threshold,
+                                id_col=id_col, text_col=text_col)
+    comp = connected_components(pairs, src_col="a_id", dst_col="b_id")
+    near_drop = (comp.where(F.col("node") != F.col("component"))
+                 .select(F.col("node").alias(id_col))
+                 .withColumn("_near", F.lit(True)))
+
+    status = (scored
+              .join(ranked.select(id_col, "_rn"), id_col, "left")
+              .join(near_drop, id_col, "left")
+              .select(group_col, "quality", F.when(q_fail, "quality_fail")
+                      .when(r_fail, "repetition_fail")
+                      .when(F.col("_rn") > 1, "exact_dup")
+                      .when(F.col("_near"), "near_dup")
+                      .otherwise("kept").alias("_st")))
+    cnt = lambda s: F.sum(F.when(F.col("_st") == s, 1).otherwise(0)) \
+        .alias(f"n_{s}")
+    kept_q = F.when(F.col("_st") == "kept",
+                    F.col("quality").cast("decimal(38,9)"))
+    return (status.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 cnt("quality_fail"), cnt("repetition_fail"),
+                 cnt("exact_dup"), cnt("near_dup"), cnt("kept"),
+                 F.round(F.sum(kept_q).cast("double")
+                         / F.sum(F.when(F.col("_st") == "kept", 1)
+                                 .otherwise(0)), 6)
+                 .alias("kept_mean_quality")))
