@@ -283,6 +283,17 @@ def _q_kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", "out_degree", "in_degree")
 
 
+def _q_kg_edge_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge lineage table: per distinct (src, pred, dst), evidence count
+    + first/last asserting (conv, turn) — the provenance a KG consumer
+    joins to trace edges back to source turns (one order-free hash agg,
+    graph.kg_edge_provenance)."""
+    from palladian_spark.graph import kg_edge_provenance
+    return kg_edge_provenance(_q_triples(spark, sf_dir)).select(
+        "src", "pred", "dst", "n_obs", "first_conv_id", "first_turn_idx",
+        "last_conv_id", "last_turn_idx")
+
+
 def _q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle count + local clustering coefficient over the
     entity CO-MENTION graph (entities asserted together in the same
@@ -1159,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus_full": _q_curate_corpus_full,
         "simhash_neardup": _q_simhash_neardup,
         "curation_report": _q_curation_report,
+        "kg_edge_provenance": _q_kg_edge_provenance,
         "quantize_embeddings": _q_quantize_embeddings,
         "conversation_stats": _q_conversation_stats,
         "cooccurrence_document": _q_cooccurrence_document,
@@ -1984,6 +1996,29 @@ SELECT COALESCE(o.node, i.node) AS node,
 FROM o FULL JOIN i ON o.node = i.node
 """,
         "kg_pagerank": _kg_pagerank_oracle(),
+        # first/last = row_number over the (conv, turn) value itself, so
+        # ties are between identical values — deterministic either way
+        "kg_edge_provenance": _BASE_CTE + """
+, t AS (
+  SELECT DISTINCT conv_id, turn_idx, cust AS subj, 'works_for' AS pred,
+         supp AS obj FROM base
+  UNION
+  SELECT DISTINCT conv_id, turn_idx, supp, 'located_in', nat FROM base
+), w AS (
+  SELECT subj AS src, pred, obj AS dst, conv_id, turn_idx,
+         row_number() OVER (PARTITION BY subj, pred, obj
+                            ORDER BY conv_id ASC, turn_idx ASC) rna,
+         row_number() OVER (PARTITION BY subj, pred, obj
+                            ORDER BY conv_id DESC, turn_idx DESC) rnd,
+         count(*) OVER (PARTITION BY subj, pred, obj) n_obs
+  FROM t
+)
+SELECT f.src, f.pred, f.dst, CAST(f.n_obs AS BIGINT) AS n_obs,
+       f.conv_id AS first_conv_id, f.turn_idx AS first_turn_idx,
+       l.conv_id AS last_conv_id, l.turn_idx AS last_turn_idx
+FROM (SELECT * FROM w WHERE rna = 1) f
+JOIN (SELECT * FROM w WHERE rnd = 1) l USING (src, pred, dst)
+""",
         # co-mention graph: per turn the triple pair asserts
         # {cust, supp, nat}; pairwise edges, then textbook a<b<c triangle
         # join (tiny here; the Spark side's degree orientation is the

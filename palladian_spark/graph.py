@@ -57,6 +57,30 @@ def kg_edges(triples: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("weight")))
 
 
+def kg_edge_provenance(triples: DataFrame) -> DataFrame:
+    """Per distinct (src, pred, dst) edge: evidence count + the FIRST
+    and LAST asserting occurrence (lexicographic (conv_id, turn_idx)
+    order, deterministic) — the lineage table that lets a KG consumer
+    trace any edge back to its source turns and lets checkpoint-resume
+    logic detect which edges a partition already contributed.
+
+    One hash agg over the triple stream (min/max of a (conv, turn)
+    struct are order-free and map-side combinable — no window, no
+    sort); output is edge-table sized.
+    """
+    occ = F.struct(F.col("conv_id"), F.col("turn_idx"))
+    return (triples
+            .groupBy(F.col("subj").alias("src"), "pred",
+                     F.col("obj").alias("dst"))
+            .agg(F.count(F.lit(1)).alias("n_obs"),
+                 F.min(occ).alias("_first"), F.max(occ).alias("_last"))
+            .select("src", "pred", "dst", "n_obs",
+                    F.col("_first.conv_id").alias("first_conv_id"),
+                    F.col("_first.turn_idx").alias("first_turn_idx"),
+                    F.col("_last.conv_id").alias("last_conv_id"),
+                    F.col("_last.turn_idx").alias("last_turn_idx")))
+
+
 def kg_degrees(triples: DataFrame) -> DataFrame:
     """Per-node degree profile over DISTINCT (subj, pred, obj) edges:
     (node, out_degree, in_degree).  Two map-side-combinable aggs + one

@@ -64,6 +64,25 @@ def test_global_count_identity(spark):
     assert got["m"] == (4, 2, 0.333333)
 
 
+def test_edge_provenance_first_last_and_count(spark):
+    from palladian_spark.graph import kg_edge_provenance
+    rows = [("c2", 1, "A", "p", "B"), ("c1", 5, "A", "p", "B"),
+            ("c1", 2, "A", "p", "B"), ("c9", 0, "X", "q", "Y")]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, subj string, pred string, "
+              "obj string")
+    got = {(r["src"], r["pred"], r["dst"]): r.asDict()
+           for r in kg_edge_provenance(t).collect()}
+    ab = got[("A", "p", "B")]
+    assert ab["n_obs"] == 3
+    # lexicographic (conv_id, turn_idx): first = (c1, 2), last = (c2, 1)
+    assert (ab["first_conv_id"], ab["first_turn_idx"]) == ("c1", 2)
+    assert (ab["last_conv_id"], ab["last_turn_idx"]) == ("c2", 1)
+    xy = got[("X", "q", "Y")]
+    assert xy["n_obs"] == 1
+    assert xy["first_conv_id"] == xy["last_conv_id"] == "c9"
+
+
 def test_star_center_zero_clustering(spark):
     # the celebrity-node shape the degree orientation exists for:
     # hub h with leaves — no triangle, coefficient 0
