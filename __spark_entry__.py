@@ -283,6 +283,23 @@ def _q_kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", "out_degree", "in_degree")
 
 
+def _q_kg_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence-weighted PageRank (3 iterations) over kg_edges: an edge
+    asserted by many turns pulls proportionally more rank.  Same
+    decimal-exact order-independent iteration regime as kg_pagerank, so
+    the oracle unrolls all three weighted iterations in SQL."""
+    from pyspark.storagelevel import StorageLevel
+    from palladian_spark.graph import kg_edges, pagerank
+    # persist: the weighted-edge table feeds nodes/out-weights and every
+    # iteration's contribution join; unlike the unweighted query the
+    # re-grouped aggregate breaks Spark's exchange reuse, so without the
+    # cache the NER kernel re-runs per branch
+    e = kg_edges(_q_triples(spark, sf_dir)) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    return pagerank(e, n_iter=3, weight_col="weight") \
+        .select("node", "rank")
+
+
 def _q_kg_edge_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge lineage table: per distinct (src, pred, dst), evidence count
     + first/last asserting (conv, turn) — the provenance a KG consumer
@@ -1171,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _q_simhash_neardup,
         "curation_report": _q_curation_report,
         "kg_edge_provenance": _q_kg_edge_provenance,
+        "kg_pagerank_weighted": _q_kg_pagerank_weighted,
         "quantize_embeddings": _q_quantize_embeddings,
         "conversation_stats": _q_conversation_stats,
         "cooccurrence_document": _q_cooccurrence_document,
@@ -1562,6 +1580,44 @@ _PAGERANK_ITER = """
            JOIN outd ON e.src = outd.src
     GROUP BY 1) s ON s.node = nodes.node
 )"""
+
+
+_PAGERANK_W_ITER = """
+{out} AS (
+  SELECT nodes.node,
+         (1.0 - 0.85) / nn.c + 0.85 * COALESCE(s.con, 0.0) AS r
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum(CAST({prev}.r * e.w / outw.d AS DECIMAL(38,18)))
+                AS DOUBLE) con
+    FROM e JOIN {prev} ON e.src = {prev}.node
+           JOIN outw ON e.src = outw.src
+    GROUP BY 1) s ON s.node = nodes.node
+)"""
+
+
+def _kg_pagerank_weighted_oracle() -> str:
+    """Unrolled 3-iteration WEIGHTED PageRank: edge weight = number of
+    distinct asserting (conv, turn) occurrences (kg_edges), contribution
+    = r·w/W_out — decimal-exact per iteration like the unweighted
+    oracle."""
+    its = ",".join(
+        _PAGERANK_W_ITER.format(out=f"i{k}", prev=("r0" if k == 1
+                                                   else f"i{k - 1}"))
+        for k in (1, 2, 3))
+    return _BASE_CTE + """
+, tt AS (SELECT DISTINCT conv_id, turn_idx, cust AS s, supp AS o FROM base
+         UNION SELECT DISTINCT conv_id, turn_idx, supp, nat FROM base),
+e AS (SELECT s AS src, o AS dst, CAST(count(*) AS DOUBLE) w
+      FROM tt GROUP BY 1, 2),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) c FROM nodes),
+outw AS (SELECT src, CAST(sum(w) AS DOUBLE) d FROM e GROUP BY 1),
+r0 AS (SELECT node, 1.0 / nn.c AS r FROM nodes CROSS JOIN nn),
+""" + its + """
+SELECT node, round(r, 6) AS rank FROM i3
+"""
 
 
 def _kg_pagerank_oracle() -> str:
@@ -1996,6 +2052,7 @@ SELECT COALESCE(o.node, i.node) AS node,
 FROM o FULL JOIN i ON o.node = i.node
 """,
         "kg_pagerank": _kg_pagerank_oracle(),
+        "kg_pagerank_weighted": _kg_pagerank_weighted_oracle(),
         # first/last = row_number over the (conv, turn) value itself, so
         # ties are between identical values — deterministic either way
         "kg_edge_provenance": _BASE_CTE + """

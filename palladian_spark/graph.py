@@ -179,7 +179,8 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85,
              src_col: str = "src", dst_col: str = "dst",
              round_decimals: int | None = 6,
              checkpoint: bool = False,
-             checkpoint_dir: str | None = None) -> DataFrame:
+             checkpoint_dir: str | None = None,
+             weight_col: str | None = None) -> DataFrame:
     """PageRank over the DISTINCT directed edge set.
 
     rank_0 = 1/N; rank_{k+1}(v) = (1−d)/N + d · Σ_{u→v} rank_k(u)/out(u).
@@ -191,15 +192,34 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85,
     shared path) — executor-loss-safe, the cluster-scale setting; the
     default ``localCheckpoint`` is local-mode only (see _lineage_cut).
     Dangling mass is not redistributed (documented simplification).
+
+    ``weight_col`` switches to WEIGHTED PageRank: parallel edges are
+    summed per (src, dst) and each contribution becomes
+    rank·w(u,v)/W_out(u) — for the KG, feed :func:`kg_edges` so an edge
+    asserted by 500 turns pulls 500× the rank of a one-off extraction.
+    Weights are integral (evidence counts), so W_out sums are exact and
+    the decimal-cast contribution sums keep every iteration
+    order-independent, exactly as in the unweighted path.
     """
-    e = edges.select(F.col(src_col).alias("src"),
-                     F.col(dst_col).alias("dst")).distinct()
+    if weight_col is not None:
+        e = (edges.select(F.col(src_col).alias("src"),
+                          F.col(dst_col).alias("dst"),
+                          F.col(weight_col).cast("long").alias("_w"))
+             .groupBy("src", "dst").agg(F.sum("_w").alias("_w")))
+    else:
+        e = edges.select(F.col(src_col).alias("src"),
+                         F.col(dst_col).alias("dst")).distinct()
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node"))).distinct())
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_d"))
+    if weight_col is not None:
+        out_deg = e.groupBy("src").agg(F.sum("_w").alias("out_d"))
+        contrib_expr = F.col("rank") * F.col("_w") / F.col("out_d")
+    else:
+        out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_d"))
+        contrib_expr = F.col("rank") / F.col("out_d")
     base = (1.0 - damping) / n
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
@@ -207,8 +227,7 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85,
         contrib = (e.join(ranks, e.src == ranks.node)
                    .join(out_deg, "src")
                    .select(F.col("dst").alias("node"),
-                           (F.col("rank") / F.col("out_d"))
-                           .alias("_contrib")))
+                           contrib_expr.alias("_contrib")))
         summed = contrib.groupBy("node").agg(
             _exact_contrib_sum("_contrib").alias("_in"))
         ranks = (nodes.join(summed, "node", "left")

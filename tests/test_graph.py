@@ -148,3 +148,45 @@ def test_connected_components_long_chain_converges(spark):
     got = {r["node"]: r["component"]
            for r in connected_components(p).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_weighted_pagerank_uniform_weights_match_unweighted(spark):
+    from palladian_spark.graph import pagerank
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    ew = spark.createDataFrame([(s, d, 7) for s, d in edges],
+                               "src string, dst string, weight int")
+    plain = {r["node"]: r["rank"] for r in pagerank(e, n_iter=3).collect()}
+    weighted = {r["node"]: r["rank"]
+                for r in pagerank(ew, n_iter=3,
+                                  weight_col="weight").collect()}
+    assert plain == weighted
+
+
+def test_weighted_pagerank_heavy_edge_attracts_rank(spark):
+    from palladian_spark.graph import pagerank
+    # a splits its mass 9:1 between b and c; closing edges keep the
+    # graph strongly connected
+    ew = spark.createDataFrame(
+        [("a", "b", 9), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+        "src string, dst string, weight int")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(ew, n_iter=3, weight_col="weight").collect()}
+    assert got["b"] > got["c"]
+
+
+def test_weighted_pagerank_parallel_edges_sum(spark):
+    from palladian_spark.graph import pagerank
+    one = spark.createDataFrame(
+        [("a", "b", 2), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+        "src string, dst string, weight int")
+    split = spark.createDataFrame(
+        [("a", "b", 1), ("a", "b", 1), ("a", "c", 1), ("b", "a", 1),
+         ("c", "a", 1)],
+        "src string, dst string, weight int")
+    r1 = {r["node"]: r["rank"]
+          for r in pagerank(one, n_iter=2, weight_col="weight").collect()}
+    r2 = {r["node"]: r["rank"]
+          for r in pagerank(split, n_iter=2,
+                            weight_col="weight").collect()}
+    assert r1 == r2
