@@ -756,6 +756,16 @@ def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_pii(docs)
 
 
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-count distribution (exact percentiles + exact
+    mean) — the profiling rollup that picks curation length gates."""
+    from palladian_spark.operators.text_quality import corpus_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_stats(docs).select(
+        "lang", "n_docs", "p25_tokens", "p50_tokens", "p75_tokens",
+        "p95_tokens", "mean_tokens", "max_tokens")
+
+
 def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenization counting."""
     from palladian_spark.operators.text_quality import bpe_token_counts
@@ -1189,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_report": _q_curation_report,
         "kg_edge_provenance": _q_kg_edge_provenance,
         "kg_pagerank_weighted": _q_kg_pagerank_weighted,
+        "corpus_stats": _q_corpus_stats,
         "quantize_embeddings": _q_quantize_embeddings,
         "conversation_stats": _q_conversation_stats,
         "cooccurrence_document": _q_cooccurrence_document,
@@ -2971,6 +2982,20 @@ SELECT doc_id, CAST(nt AS INT) n_tokens,
              * CASE WHEN sr >= 0.05 AND sr <= 0.6 THEN 1.0 ELSE 0.5 END,
              6) quality
 FROM r
+""",
+        "corpus_stats": """
+WITH t AS (
+  SELECT lang, len(string_split(text, ' ')) AS nt FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       round(quantile_cont(nt, 0.25), 6) AS p25_tokens,
+       round(quantile_cont(nt, 0.5), 6) AS p50_tokens,
+       round(quantile_cont(nt, 0.75), 6) AS p75_tokens,
+       round(quantile_cont(nt, 0.95), 6) AS p95_tokens,
+       round(CAST(sum(CAST(nt AS DECIMAL(38,9))) AS DOUBLE) / count(*), 6)
+         AS mean_tokens,
+       max(nt) AS max_tokens
+FROM t GROUP BY lang
 """,
         "bpe_token_counts": """
 SELECT doc_id,

@@ -211,6 +211,37 @@ def rolling_fingerprints(docs: DataFrame, id_col: str = "doc_id",
             .select(id_col, F.explode(kept).alias("fingerprint")))
 
 
+def corpus_stats(docs: DataFrame, group_col: str = "lang",
+                 text_col: str = "text") -> DataFrame:
+    """Per-``group_col`` corpus profile: document count, EXACT
+    interpolated token-count percentiles (p25/p50/p75/p95), exact mean
+    and max — the distribution table a curation run materializes to
+    pick its length gates.
+
+    ``percentile`` (not approx_percentile) keeps the result
+    deterministic and engine-replayable (DuckDB's quantile_cont uses
+    the same linear interpolation); exact percentiles sort within each
+    group, which is fine because groups are languages (few, large —
+    Spark's SQL percentile buffers per group) — for millions of groups
+    switch to approx_percentile and drop the oracle to rows-only.
+    """
+    nt = F.size(F.split(F.col(text_col), " "))
+    pct = F.percentile(nt, F.lit([0.25, 0.5, 0.75, 0.95]))
+    return (docs
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 pct.alias("_p"),
+                 F.round(F.sum(nt.cast("decimal(38,9)")).cast("double")
+                         / F.count(F.lit(1)), 6).alias("mean_tokens"),
+                 F.max(nt).alias("max_tokens"))
+            .select(group_col, "n_docs",
+                    F.round(F.col("_p")[0], 6).alias("p25_tokens"),
+                    F.round(F.col("_p")[1], 6).alias("p50_tokens"),
+                    F.round(F.col("_p")[2], 6).alias("p75_tokens"),
+                    F.round(F.col("_p")[3], 6).alias("p95_tokens"),
+                    "mean_tokens", "max_tokens"))
+
+
 def repetition_scores(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
     """Gopher-style intra-document repetition signals (Rae et al. 2021,

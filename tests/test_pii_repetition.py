@@ -39,6 +39,27 @@ def test_repetition_degenerate_spam_doc(spark):
                       "top_token_frac": 1.0, "top_bigram_frac": 1.0}
 
 
+def test_corpus_stats_hand_computed(spark):
+    from palladian_spark.operators.text_quality import corpus_stats
+    rows = [(1, "a", "en"), (2, "a b", "en"), (3, "a b c", "en"),
+            (4, "a b c d", "en"), (5, "x y z", "de")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, "
+                                    "lang string")
+    got = {r["lang"]: r.asDict() for r in corpus_stats(d).collect()}
+    en = got["en"]
+    # token counts 1,2,3,4: p25 = 1.75, p50 = 2.5, p75 = 3.25,
+    # p95 = 3.85 (linear interpolation), mean 2.5, max 4
+    assert en["n_docs"] == 4
+    assert en["p25_tokens"] == 1.75
+    assert en["p50_tokens"] == 2.5
+    assert en["p75_tokens"] == 3.25
+    assert en["p95_tokens"] == 3.85
+    assert en["mean_tokens"] == 2.5
+    assert en["max_tokens"] == 4
+    de = got["de"]
+    assert (de["n_docs"], de["p50_tokens"], de["max_tokens"]) == (1, 3.0, 3)
+
+
 def _scrub(spark, rows):
     d = spark.createDataFrame(rows, "doc_id long, text string")
     return {r["doc_id"]: r.asDict() for r in scrub_pii(d).collect()}
