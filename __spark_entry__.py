@@ -756,6 +756,15 @@ def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_pii(docs)
 
 
+def _q_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality z-scores + |z| > 2 outlier flags (exact
+    decimal moments, order-independent)."""
+    from palladian_spark.operators.text_quality import quality_outliers
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_outliers(docs).select(
+        "doc_id", "lang", "quality", "z_score", "is_outlier")
+
+
 def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-count distribution (exact percentiles + exact
     mean) — the profiling rollup that picks curation length gates."""
@@ -1200,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edge_provenance": _q_kg_edge_provenance,
         "kg_pagerank_weighted": _q_kg_pagerank_weighted,
         "corpus_stats": _q_corpus_stats,
+        "quality_outliers": _q_quality_outliers,
         "quantize_embeddings": _q_quantize_embeddings,
         "conversation_stats": _q_conversation_stats,
         "cooccurrence_document": _q_cooccurrence_document,
@@ -2982,6 +2992,44 @@ SELECT doc_id, CAST(nt AS INT) n_tokens,
              * CASE WHEN sr >= 0.05 AND sr <= 0.6 THEN 1.0 ELSE 0.5 END,
              6) quality
 FROM r
+""",
+        "quality_outliers": """
+WITH t AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') ts,
+         length(text) nc
+  FROM documents
+), r AS (
+  SELECT doc_id, lang,
+    len(list_distinct(ts))::DOUBLE / len(ts) dr,
+    len(list_filter(ts, x -> x IN ('the','a','and','of')))::DOUBLE
+      / len(ts) sr,
+    (nc - length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')))::DOUBLE
+      / nc nar
+  FROM t
+), q AS (
+  SELECT doc_id, lang,
+         round(dr * (1.0 - nar)
+               * CASE WHEN sr >= 0.05 AND sr <= 0.6
+                      THEN 1.0 ELSE 0.5 END, 6) AS quality
+  FROM r
+), g AS (
+  SELECT lang, count(*) n,
+         CAST(sum(CAST(quality AS DECIMAL(18,9))) AS DOUBLE) s,
+         CAST(sum(CAST(CAST(quality AS DECIMAL(18,9))
+                       * CAST(quality AS DECIMAL(18,9))
+                       AS DECIMAL(38,18))) AS DOUBLE) ss
+  FROM q GROUP BY 1
+), st AS (
+  SELECT lang, s / n AS m,
+         sqrt(greatest(ss / n - (s / n) * (s / n), 0.0)) AS sd
+  FROM g
+)
+SELECT q.doc_id, q.lang, q.quality,
+       round(CASE WHEN st.sd > 0 THEN (q.quality - st.m) / st.sd
+                  ELSE 0.0 END, 4) AS z_score,
+       abs(round(CASE WHEN st.sd > 0 THEN (q.quality - st.m) / st.sd
+                      ELSE 0.0 END, 4)) > 2.0 AS is_outlier
+FROM q JOIN st USING (lang)
 """,
         "corpus_stats": """
 WITH t AS (

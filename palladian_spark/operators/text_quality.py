@@ -242,6 +242,46 @@ def corpus_stats(docs: DataFrame, group_col: str = "lang",
                     "mean_tokens", "max_tokens"))
 
 
+def quality_outliers(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", group_col: str = "lang",
+                     z_threshold: float = 2.0) -> DataFrame:
+    """Per-doc quality z-score WITHIN its language group + outlier flag
+    (|z| > ``z_threshold``) — the distribution-aware anomaly signal a
+    curation run uses on top of absolute gates (a 0.4-quality doc is
+    normal in one language and an outlier in another).
+
+    Deterministic: group mean and population variance come from
+    decimal-cast sums of the (already 6-rounded) quality and its square
+    — order-independent — and z is rounded to 4.  Zero-variance groups
+    get z = 0, not NaN.  One quality pass + one tiny group agg
+    (broadcast back) — no window over the corpus.
+    """
+    q = quality_scores(docs, id_col=id_col, text_col=text_col) \
+        .join(docs.select(id_col, group_col), id_col) \
+        .select(id_col, group_col, "quality")
+    # decimal(18,9): the (38,9)×(38,9) product would overflow precision
+    # 38 and Spark silently REDUCES the product scale to 6 — (18,9)²
+    # → (37,18) stays exact
+    dec = F.col("quality").cast("decimal(18,9)")
+    g = (q.groupBy(group_col)
+         .agg(F.count(F.lit(1)).alias("_n"),
+              F.sum(dec).cast("double").alias("_s"),
+              F.sum((dec * dec).cast("decimal(38,18)")).cast("double")
+              .alias("_ss")))
+    mean = F.col("_s") / F.col("_n")
+    var = F.col("_ss") / F.col("_n") - mean * mean
+    stats = g.select(group_col, mean.alias("_mean"),
+                     F.sqrt(F.greatest(var, F.lit(0.0))).alias("_std"))
+    z = F.when(F.col("_std") > 0,
+               (F.col("quality") - F.col("_mean")) / F.col("_std")) \
+        .otherwise(F.lit(0.0))
+    return (q.join(F.broadcast(stats), group_col)
+            .select(id_col, group_col, "quality",
+                    F.round(z, 4).alias("z_score"),
+                    (F.abs(F.round(z, 4)) > z_threshold)
+                    .alias("is_outlier")))
+
+
 def repetition_scores(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
     """Gopher-style intra-document repetition signals (Rae et al. 2021,

@@ -60,6 +60,32 @@ def test_corpus_stats_hand_computed(spark):
     assert (de["n_docs"], de["p50_tokens"], de["max_tokens"]) == (1, 3.0, 3)
 
 
+def test_quality_outliers_flags_the_deviant(spark):
+    from palladian_spark.operators.text_quality import quality_outliers
+    normal = ["the ships sail out of the harbor with the morning tide",
+              "a quiet town sits of the river and the old stone bridge",
+              "the birds fly over and the fields turn gold in autumn",
+              "a long road runs of the coast and the cliffs of chalk"]
+    rows = [(i, t, "en") for i, t in enumerate(normal)] + \
+           [(99, "!!!! #### %%%% ????", "en")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, "
+                                    "lang string")
+    got = {r["doc_id"]: r.asDict() for r in quality_outliers(d).collect()}
+    # the junk doc is far below the group mean → strongly negative z
+    assert got[99]["z_score"] < -1.5
+    assert got[99]["is_outlier"] == (abs(got[99]["z_score"]) > 2.0)
+    assert all(abs(got[i]["z_score"]) < 1.5 for i in range(4))
+
+
+def test_quality_outliers_zero_variance_group(spark):
+    from palladian_spark.operators.text_quality import quality_outliers
+    rows = [(1, "same text of a", "de"), (2, "same text of a", "de")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, "
+                                    "lang string")
+    got = {r["doc_id"]: r["z_score"] for r in quality_outliers(d).collect()}
+    assert got == {1: 0.0, 2: 0.0}
+
+
 def _scrub(spark, rows):
     d = spark.createDataFrame(rows, "doc_id long, text string")
     return {r["doc_id"]: r.asDict() for r in scrub_pii(d).collect()}
