@@ -300,6 +300,20 @@ def _q_kg_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", "rank")
 
 
+def _q_kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction scores over the works_for bipartite subgraph:
+    supplier pairs ranked by shared customers (common / Jaccard /
+    Adamic-Adar), with hub customers (degree > 50) excluded as wedge
+    centers — the skew cap is part of the contract and demonstrably
+    bites at sf0.01."""
+    from palladian_spark.graph import link_prediction_scores
+    t = _q_triples(spark, sf_dir)
+    wf = t.where(F.col("pred") == "works_for") \
+        .select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+    return link_prediction_scores(wf, max_center_degree=50) \
+        .select("a", "b", "common", "jaccard", "adamic_adar")
+
+
 def _q_kg_edge_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge lineage table: per distinct (src, pred, dst), evidence count
     + first/last asserting (conv, turn) — the provenance a KG consumer
@@ -1210,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank_weighted": _q_kg_pagerank_weighted,
         "corpus_stats": _q_corpus_stats,
         "quality_outliers": _q_quality_outliers,
+        "kg_link_prediction": _q_kg_link_prediction,
         "quantize_embeddings": _q_quantize_embeddings,
         "conversation_stats": _q_conversation_stats,
         "cooccurrence_document": _q_cooccurrence_document,
@@ -2074,6 +2089,34 @@ FROM o FULL JOIN i ON o.node = i.node
 """,
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_weighted": _kg_pagerank_weighted_oracle(),
+        "kg_link_prediction": _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS s, supp AS o FROM base),
+e AS (SELECT least(s, o) u, greatest(s, o) v FROM t),
+und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT u AS node, count(*) degree FROM und GROUP BY 1),
+centers AS (
+  SELECT und.u n, deg.degree nd, und.v nb
+  FROM und JOIN deg ON und.u = deg.node
+  WHERE deg.degree <= 50
+), w AS (
+  SELECT c1.nb a, c2.nb b, c1.nd nd
+  FROM centers c1 JOIN centers c2
+    ON c1.n = c2.n AND c1.nb < c2.nb
+), sc AS (
+  SELECT a, b, count(*) common,
+         CAST(sum(CAST(1.0 / ln(nd) AS DECIMAL(38,18))) AS DOUBLE) aa
+  FROM w GROUP BY 1, 2
+), na AS (
+  SELECT sc.* FROM sc
+  LEFT JOIN e ON sc.a = e.u AND sc.b = e.v
+  WHERE e.u IS NULL
+)
+SELECT na.a, na.b, CAST(common AS BIGINT) AS common,
+       round(common / (da.degree + db.degree - common), 6) AS jaccard,
+       round(aa, 6) AS adamic_adar
+FROM na JOIN deg da ON na.a = da.node
+JOIN deg db ON na.b = db.node
+""",
         # first/last = row_number over the (conv, turn) value itself, so
         # ties are between identical values — deterministic either way
         "kg_edge_provenance": _BASE_CTE + """

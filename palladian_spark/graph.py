@@ -167,6 +167,65 @@ def kg_triangles(edges: DataFrame, src_col: str = "u",
                         .otherwise(F.lit(0.0)), 6).alias("clustering")))
 
 
+def link_prediction_scores(edges: DataFrame, src_col: str = "u",
+                           dst_col: str = "v",
+                           max_center_degree: int | None = None,
+                           min_common: int = 1) -> DataFrame:
+    """Classic neighborhood link-prediction scores for NON-adjacent node
+    pairs at distance 2: (a, b, common, jaccard, adamic_adar) where
+
+      * common      — |N(a) ∩ N(b)| (via shared-neighbor wedges)
+      * jaccard     — common / (deg(a) + deg(b) − common)
+      * adamic_adar — Σ_{n ∈ N(a)∩N(b)} 1/ln(deg(n)) (wedge centers
+        always have deg ≥ 2, so ln is never 0), decimal-exact sum →
+        order-independent
+
+    ``max_center_degree`` excludes hub nodes as wedge CENTERS — the
+    skew guard: a degree-d hub contributes O(d²) wedges but ~zero
+    Adamic-Adar signal (1/ln(d) → small), so capping changes little
+    while bounding the biggest bucket; the cap is part of the operator
+    contract (an oracle must apply the same filter).  Pairs are ranked
+    by the caller; ``min_common`` prunes the long tail early.
+    """
+    e = (edges
+         .select(F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+                 F.greatest(F.col(src_col), F.col(dst_col)).alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .distinct())
+    und = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")) \
+        .agg(F.count(F.lit(1)).alias("degree"))
+    centers = und.join(deg, und.u == deg.node) \
+        .select(F.col("u").alias("n"), F.col("degree").alias("nd"),
+                F.col("v").alias("nb"))
+    if max_center_degree is not None:
+        centers = centers.where(F.col("nd") <= max_center_degree)
+    c1, c2 = centers.alias("c1"), centers.alias("c2")
+    wedges = (c1.join(c2, (F.col("c1.n") == F.col("c2.n"))
+                      & (F.col("c1.nb") < F.col("c2.nb")))
+              .select(F.col("c1.nb").alias("a"),
+                      F.col("c2.nb").alias("b"),
+                      F.col("c1.nd").alias("nd")))
+    scored = (wedges.groupBy("a", "b")
+              .agg(F.count(F.lit(1)).alias("common"),
+                   F.sum((F.lit(1.0) / F.log(F.col("nd")))
+                         .cast("decimal(38,18)")).cast("double")
+                   .alias("_aa"))
+              .where(F.col("common") >= min_common))
+    non_adj = scored.join(
+        e.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"], "left_anti")
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("_db"))
+    return (non_adj.join(da, "a").join(db, "b")
+            .select("a", "b", "common",
+                    F.round(F.col("common")
+                            / (F.col("_da") + F.col("_db")
+                               - F.col("common")), 6).alias("jaccard"),
+                    F.round("_aa", 6).alias("adamic_adar")))
+
+
 def _exact_contrib_sum(col: str):
     """Order-independent double sum (same trick as events._exact_sum):
     per-row cast to decimal(38,18) makes the aggregation associative-

@@ -190,3 +190,51 @@ def test_weighted_pagerank_parallel_edges_sum(spark):
           for r in pagerank(split, n_iter=2,
                             weight_col="weight").collect()}
     assert r1 == r2
+
+
+def test_link_prediction_square_hand_computed(spark):
+    from palladian_spark.graph import link_prediction_scores
+    # square a–x, a–y, b–x, b–y: a,b share {x,y} and are not adjacent
+    e = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")],
+        "u string, v string")
+    got = {(r["a"], r["b"]): r.asDict()
+           for r in link_prediction_scores(e).collect()}
+    ab = got[("a", "b")]
+    assert ab["common"] == 2
+    assert ab["jaccard"] == 1.0          # 2 / (2 + 2 - 2)
+    assert ab["adamic_adar"] == round(2 / __import__("math").log(2), 6)
+    assert ("x", "y") in got             # symmetric side
+    assert len(got) == 2
+
+
+def test_link_prediction_excludes_adjacent_pairs(spark):
+    from palladian_spark.graph import link_prediction_scores
+    # triangle: every pair is adjacent → no predictions
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "u string, v string")
+    assert link_prediction_scores(e).count() == 0
+
+
+def test_link_prediction_hub_cap_drops_hub_wedges(spark):
+    from palladian_spark.graph import link_prediction_scores
+    # hub h connects l0..l9: without cap every leaf pair shares h;
+    # capping centers at degree 5 removes all of them
+    e = spark.createDataFrame([("h", f"l{i}") for i in range(10)],
+                              "u string, v string")
+    assert link_prediction_scores(e).count() == 45
+    assert link_prediction_scores(e, max_center_degree=5).count() == 0
+
+
+def test_link_prediction_min_common(spark):
+    from palladian_spark.graph import link_prediction_scores
+    # a,b share x and y; a,c share only x
+    e = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("a", "y"), ("b", "y"), ("c", "x")],
+        "u string, v string")
+    all_pairs = {(r["a"], r["b"]): r["common"]
+                 for r in link_prediction_scores(e).collect()}
+    assert all_pairs[("a", "b")] == 2
+    strict = {(r["a"], r["b"])
+              for r in link_prediction_scores(e, min_common=2).collect()}
+    assert strict == {("a", "b"), ("x", "y")}
