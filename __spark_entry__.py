@@ -1019,6 +1019,51 @@ def _q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_activity(ev)
 
 
+def _q_asof_join_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (union + one per-key window sweep, NOT a join —
+    linear on hot keys): every non-signup event gains the value and ts of
+    the user's latest signup at-or-before it."""
+    from palladian_spark.operators.temporal import asof_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    states = (ev.where(F.col("event_type") == "signup")
+              .groupBy("user_id", "ts")
+              .agg(F.max("value").alias("plan_value")))
+    probes = (ev.where(F.col("event_type") != "signup")
+              .select("event_id", "user_id", "ts", "event_type"))
+    return (asof_join(probes, states, on=["user_id"])
+            .select("event_id", "user_id", "ts", "event_type",
+                    "plan_value", "asof_ts"))
+
+
+def _q_interval_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join with time-bin blocking (equi-join on
+    (user, hour-bin) + containment residual; each pair meets once): which
+    events fall inside a 6-hour incident window opened by each error."""
+    from palladian_spark.operators.temporal import interval_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    intervals = (ev.where(F.col("event_type") == "error")
+                 .select(F.col("event_id").alias("incident_id"), "user_id",
+                         F.col("ts").alias("start"),
+                         (F.col("ts") + F.expr("INTERVAL 6 HOURS"))
+                         .alias("end")))
+    points = (ev.where(F.col("event_type") != "error")
+              .select("event_id", "user_id", "ts", "event_type"))
+    return (interval_join(points, intervals, on=["user_id"],
+                          bin_seconds=3600)
+            .select("incident_id", "event_id", "user_id", "ts",
+                    "event_type"))
+
+
+def _q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution continuous-aggregate cascade (5m → 1h → 1d), each
+    coarser level re-aggregating the finer level's decimal partials — one
+    raw scan total, exactly equal to direct group-bys at every level."""
+    from palladian_spark.operators.temporal import hypertable_rollup
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hypertable_rollup(
+        ev, resolutions=("5 minutes", "1 hour", "1 day"))
+
+
 def _q_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DictionaryTagger gazetteer scan (DictionaryTagger.java:24-69),
     inverted to tokenize-once + broadcast n-gram join (SURVEY.md §2.3).
@@ -1211,6 +1256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-round sweep: the two ANN queries have full SQL-replay
         # oracles since round 3 but no green driver row yet, and the rest
         # of this block was absent from the round-3 sample.
+        "asof_join_state": _q_asof_join_state,
+        "interval_join_incidents": _q_interval_join_incidents,
+        "hypertable_rollup": _q_hypertable_rollup,
         "ann_lsh_top1": _q_ann_lsh_top1,
         "ann_ivf_top1": _q_ann_ivf_top1,
         "repetition_scores": _q_repetition_scores,
@@ -1922,6 +1970,47 @@ FROM cf_status GROUP BY lang
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "asof_join_state": """
+WITH states AS (
+  SELECT user_id, ts, max(value) AS plan_value
+  FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+), probes AS (
+  SELECT event_id, user_id, ts, event_type
+  FROM events WHERE event_type <> 'signup'
+)
+SELECT p.event_id, p.user_id, p.ts, p.event_type,
+       s.plan_value, s.ts AS asof_ts
+FROM probes p ASOF LEFT JOIN states s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+        "interval_join_incidents": """
+WITH iv AS (
+  SELECT event_id AS incident_id, user_id, ts AS s,
+         ts + INTERVAL 6 HOUR AS e
+  FROM events WHERE event_type = 'error'
+)
+SELECT iv.incident_id, p.event_id, p.user_id, p.ts, p.event_type
+FROM (SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type <> 'error') p
+JOIN iv ON p.user_id = iv.user_id AND p.ts >= iv.s AND p.ts < iv.e
+""",
+        "hypertable_rollup": """
+WITH lvl AS (
+  SELECT r.res AS resolution, r.secs,
+         make_timestamp((epoch_us(ts) // (CAST(r.secs AS BIGINT) * 1000000))
+                        * CAST(r.secs AS BIGINT) * 1000000) AS window_start,
+         event_type, value
+  FROM events CROSS JOIN (VALUES ('5 minutes', 300), ('1 hour', 3600),
+                                 ('1 day', 86400)) r(res, secs)
+)
+SELECT resolution, window_start,
+       window_start + to_seconds(secs) AS window_end,
+       event_type, count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE), 6)
+         AS total_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM lvl GROUP BY 1, 2, 3, 4
+""",
         "ann_lsh_top1": _ann_lsh_oracle(),
         "ann_ivf_top1": _ann_ivf_oracle(),
         "repetition_scores": """
