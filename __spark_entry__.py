@@ -1019,6 +1019,26 @@ def _q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_activity(ev)
 
 
+def _q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered, hash-gated negative sampling over the constructed KG
+    (KG-embedding training prep): corrupt each distinct triple's object
+    with an md5-picked vocabulary entity, drop no-ops and corruptions
+    that collide with true triples."""
+    from palladian_spark.operators.kg_training import negative_samples
+    return negative_samples(
+        _q_triples(spark, sf_dir).select("subj", "pred", "obj"), n_neg=2)
+
+
+def _q_kg_entity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split of the KG: fold gate hashes
+    the UNORDERED entity pair so inverse/duplicate relations between the
+    same entities never straddle folds."""
+    from palladian_spark.operators.kg_training import entity_split
+    return entity_split(
+        _q_triples(spark, sf_dir).select("subj", "pred", "obj"),
+        valid_frac=0.1, test_frac=0.1)
+
+
 def _q_canonicalize_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end surface canonicalization (north-rule 'canonicalization'
     composed): distinct surfaces + freq → within-block char-3-gram Dice
@@ -1269,6 +1289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-round sweep: the two ANN queries have full SQL-replay
         # oracles since round 3 but no green driver row yet, and the rest
         # of this block was absent from the round-3 sample.
+        "kg_negative_samples": _q_kg_negative_samples,
+        "kg_entity_split": _q_kg_entity_split,
         "canonicalize_surfaces": _q_canonicalize_surfaces,
         "asof_join_state": _q_asof_join_state,
         "interval_join_incidents": _q_interval_join_incidents,
@@ -1984,6 +2006,44 @@ FROM cf_status GROUP BY lang
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kg_negative_samples": _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
+        FROM base
+        UNION SELECT DISTINCT supp, 'located_in', nat FROM base),
+ents AS (
+  SELECT entity, row_number() OVER (ORDER BY entity) - 1 AS idx
+  FROM (SELECT subj AS entity FROM t UNION SELECT obj FROM t)
+), cand AS (
+  SELECT subj, pred, obj, k,
+         ('0x' || substr(md5('kgneg|' || subj || '|' || pred || '|' || obj
+                             || '|' || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+           % (SELECT count(*) FROM ents) AS idx
+  FROM t CROSS JOIN (VALUES (0), (1)) ks(k)
+), corr AS (
+  SELECT c.subj, c.pred, c.obj, c.k, e.entity AS neg_obj
+  FROM cand c JOIN ents e USING (idx)
+  WHERE e.entity <> c.obj
+)
+SELECT corr.subj, corr.pred, corr.obj, CAST(corr.k AS INT) AS k,
+       corr.neg_obj
+FROM corr LEFT JOIN t ON corr.subj = t.subj AND corr.pred = t.pred
+                     AND corr.neg_obj = t.obj
+WHERE t.subj IS NULL
+""",
+        "kg_entity_split": _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
+        FROM base
+        UNION SELECT DISTINCT supp, 'located_in', nat FROM base)
+SELECT subj, pred, obj,
+       CASE WHEN ('0x' || substr(md5('kgsplit|' || least(subj, obj) || '|'
+                                     || greatest(subj, obj)), 1, 8))::BIGINT
+                 % 1000000 < 100000 THEN 'valid'
+            WHEN ('0x' || substr(md5('kgsplit|' || least(subj, obj) || '|'
+                                     || greatest(subj, obj)), 1, 8))::BIGINT
+                 % 1000000 < 200000 THEN 'test'
+            ELSE 'train' END AS fold
+FROM t
+""",
         "canonicalize_surfaces": """
 WITH RECURSIVE s AS (
   SELECT p_brand, lower(p_name) AS surface, count(*) AS freq
