@@ -1039,6 +1039,47 @@ def _q_kg_entity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_frac=0.1, test_frac=0.1)
 
 
+def _q_kg_infer_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One forward-chaining inference step over the constructed KG:
+    works_for(x,y) ∧ located_in(y,z) ⇒ based_in(x,z), anti-joined
+    against the asserted set, with the deriving rule as provenance."""
+    from palladian_spark.operators.kg_fusion import infer_triples
+    return infer_triples(_q_triples(spark, sf_dir))
+
+
+def _q_kg_relation_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate cardinality profile (n_edges / n_subj / n_obj /
+    tails-per-head / heads-per-tail / 1-1|1-N|N-1|N-N class) over the
+    constructed KG's distinct edges."""
+    from palladian_spark.operators.kg_fusion import relation_cardinality
+    return relation_cardinality(_q_triples(spark, sf_dir))
+
+
+def _q_kg_resolve_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knowledge-fusion truth finding: per (subj, pred) keep the object
+    with the most (conv, turn) observations, ties by object ascending,
+    reporting alternative count and total evidence."""
+    from palladian_spark.operators.kg_fusion import resolve_facts
+    return resolve_facts(_q_triples(spark, sf_dir))
+
+
+def _q_kg_encode_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense int64 (s_idx, p_idx, o_idx) tensor encoding of the distinct
+    triple set via sorted entity/predicate vocabularies."""
+    from palladian_spark.operators.kg_fusion import encode_triples
+    return encode_triples(_q_triples(spark, sf_dir))
+
+
+def _q_kg_bernoulli_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-aware (TransH Bernoulli) filtered negative sampling:
+    head-vs-tail corruption chosen by the exact integer gate
+    hash % (n_subj + n_obj) < n_obj per predicate, replacement entity
+    md5-picked, no-ops and true-triple collisions dropped."""
+    from palladian_spark.operators.kg_fusion import bernoulli_negative_samples
+    return bernoulli_negative_samples(
+        _q_triples(spark, sf_dir).select("subj", "pred", "obj"), n_neg=2)
+
+
 def _q_canonicalize_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end surface canonicalization (north-rule 'canonicalization'
     composed): distinct surfaces + freq → within-block char-3-gram Dice
@@ -1291,6 +1332,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of this block was absent from the round-3 sample.
         "kg_negative_samples": _q_kg_negative_samples,
         "kg_entity_split": _q_kg_entity_split,
+        "kg_infer_triples": _q_kg_infer_triples,
+        "kg_relation_cardinality": _q_kg_relation_cardinality,
+        "kg_resolve_facts": _q_kg_resolve_facts,
+        "kg_encode_triples": _q_kg_encode_triples,
+        "kg_bernoulli_negatives": _q_kg_bernoulli_negatives,
         "canonicalize_surfaces": _q_canonicalize_surfaces,
         "asof_join_state": _q_asof_join_state,
         "interval_join_incidents": _q_interval_join_incidents,
@@ -2043,6 +2089,104 @@ SELECT subj, pred, obj,
                  % 1000000 < 200000 THEN 'test'
             ELSE 'train' END AS fold
 FROM t
+""",
+        "kg_infer_triples": _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
+        FROM base
+        UNION SELECT DISTINCT supp, 'located_in', nat FROM base),
+a AS (SELECT subj AS x, obj AS y FROM t WHERE pred = 'works_for'),
+b AS (SELECT subj AS y, obj AS z FROM t WHERE pred = 'located_in'),
+d AS (SELECT DISTINCT a.x AS subj, 'based_in' AS pred, b.z AS obj,
+             'works_for.located_in' AS rule
+      FROM a JOIN b USING (y))
+SELECT d.subj, d.pred, d.obj, d.rule
+FROM d LEFT JOIN t ON d.subj = t.subj AND d.pred = t.pred AND d.obj = t.obj
+WHERE t.subj IS NULL
+""",
+        "kg_relation_cardinality": _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
+        FROM base
+        UNION SELECT DISTINCT supp, 'located_in', nat FROM base),
+prof AS (SELECT pred, count(*) AS n_edges,
+                count(DISTINCT subj) AS n_subj,
+                count(DISTINCT obj) AS n_obj
+         FROM t GROUP BY pred)
+SELECT pred, n_edges, n_subj, n_obj,
+       CAST(n_edges AS DOUBLE) / n_subj AS tph,
+       CAST(n_edges AS DOUBLE) / n_obj AS hpt,
+       CASE WHEN CAST(n_edges AS DOUBLE) / n_subj <= 1.5
+                 AND CAST(n_edges AS DOUBLE) / n_obj <= 1.5 THEN '1-1'
+            WHEN CAST(n_edges AS DOUBLE) / n_subj > 1.5
+                 AND CAST(n_edges AS DOUBLE) / n_obj <= 1.5 THEN '1-N'
+            WHEN CAST(n_edges AS DOUBLE) / n_subj <= 1.5
+                 AND CAST(n_edges AS DOUBLE) / n_obj > 1.5 THEN 'N-1'
+            ELSE 'N-N' END AS category
+FROM prof
+""",
+        "kg_resolve_facts": _BASE_CTE + """
+, obs AS (SELECT DISTINCT conv_id, turn_idx, cust AS subj,
+                 'works_for' AS pred, supp AS obj
+          FROM base
+          UNION SELECT DISTINCT conv_id, turn_idx, supp, 'located_in', nat
+          FROM base),
+ev AS (SELECT subj, pred, obj, count(*) AS evidence
+       FROM obs GROUP BY 1, 2, 3),
+rk AS (SELECT subj, pred, obj, evidence,
+              count(*) OVER (PARTITION BY subj, pred) AS n_alternatives,
+              CAST(sum(evidence) OVER (PARTITION BY subj, pred) AS BIGINT)
+                AS total_evidence,
+              row_number() OVER (PARTITION BY subj, pred
+                                 ORDER BY evidence DESC, obj ASC) AS rn
+       FROM ev)
+SELECT subj, pred, obj, evidence, n_alternatives, total_evidence
+FROM rk WHERE rn = 1
+""",
+        "kg_encode_triples": _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
+        FROM base
+        UNION SELECT DISTINCT supp, 'located_in', nat FROM base),
+ents AS (SELECT entity, row_number() OVER (ORDER BY entity) - 1 AS idx
+         FROM (SELECT subj AS entity FROM t UNION SELECT obj FROM t)),
+preds AS (SELECT pred, row_number() OVER (ORDER BY pred) - 1 AS p_idx
+          FROM (SELECT DISTINCT pred FROM t))
+SELECT CAST(es.idx AS BIGINT) AS s_idx, CAST(p.p_idx AS BIGINT) AS p_idx,
+       CAST(eo.idx AS BIGINT) AS o_idx
+FROM t JOIN ents es ON t.subj = es.entity
+       JOIN preds p ON t.pred = p.pred
+       JOIN ents eo ON t.obj = eo.entity
+""",
+        "kg_bernoulli_negatives": _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
+        FROM base
+        UNION SELECT DISTINCT supp, 'located_in', nat FROM base),
+ents AS (SELECT entity, row_number() OVER (ORDER BY entity) - 1 AS idx
+         FROM (SELECT subj AS entity FROM t UNION SELECT obj FROM t)),
+card AS (SELECT pred, count(DISTINCT subj) AS n_subj,
+                count(DISTINCT obj) AS n_obj
+         FROM t GROUP BY pred),
+cand AS (
+  SELECT t.subj, t.pred, t.obj, k,
+         CASE WHEN ('0x' || substr(md5('kgbern|side|' || t.subj || '|'
+                                       || t.pred || '|' || t.obj || '|'
+                                       || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+                   % (c.n_subj + c.n_obj) < c.n_obj
+              THEN 'head' ELSE 'tail' END AS side,
+         ('0x' || substr(md5('kgbern|' || t.subj || '|' || t.pred || '|'
+                             || t.obj || '|'
+                             || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+           % (SELECT count(*) FROM ents) AS idx
+  FROM t JOIN card c USING (pred) CROSS JOIN (VALUES (0), (1)) ks(k)
+), corr AS (
+  SELECT c.subj, c.pred, c.obj, c.k, c.side,
+         CASE WHEN c.side = 'head' THEN e.entity ELSE c.subj END AS neg_subj,
+         CASE WHEN c.side = 'tail' THEN e.entity ELSE c.obj END AS neg_obj
+  FROM cand c JOIN ents e USING (idx)
+), flt AS (SELECT * FROM corr WHERE neg_subj <> subj OR neg_obj <> obj)
+SELECT f.subj, f.pred, f.obj, CAST(f.k AS INT) AS k, f.side,
+       f.neg_subj, f.neg_obj
+FROM flt f LEFT JOIN t ON f.neg_subj = t.subj AND f.pred = t.pred
+                      AND f.neg_obj = t.obj
+WHERE t.subj IS NULL
 """,
         "canonicalize_surfaces": """
 WITH RECURSIVE s AS (

@@ -1,0 +1,187 @@
+"""KG fusion & inference over the constructed triple set.
+
+Beyond-the-reference operators (the reference stops at triple emission;
+SURVEY.md §2.8): the knowledge-fusion layer a KG-construction pipeline
+runs AFTER extraction — forward-chained rule inference, per-relation
+cardinality profiling, evidence-based fact resolution, and the dense
+integer encoding + cardinality-aware (Bernoulli) negative sampling a
+KG-embedding trainer consumes.
+
+  * infer_triples — one forward-chaining step over composition rules
+    a(x,y) ∧ b(y,z) ⇒ c(x,z) (RDFS-style property chains).  Emits only
+    NEW facts (anti-joined against the asserted set) with the deriving
+    rule as provenance.
+  * relation_cardinality — per predicate: distinct-edge/head/tail
+    counts, tails-per-head and heads-per-tail averages, and the
+    1-1 / 1-N / N-1 / N-N class (threshold 1.5, the FB15k convention).
+  * resolve_facts — knowledge-fusion truth finding: per (subj, pred)
+    keep the object with the most supporting evidence (ties broken by
+    object string — deterministic), reporting the alternative count so
+    downstream consumers can gate on ambiguity.
+  * encode_triples — dense (s_idx, p_idx, o_idx) int64 encoding via the
+    sorted entity/predicate vocabularies (trainer tensor format).
+  * bernoulli_negative_samples — TransH-style side selection: corrupt
+    the HEAD with probability tph/(tph+hpt), which reduces to the exact
+    integer gate  hash % (n_subj + n_obj) < n_obj  per predicate, so
+    the choice replays exactly in SQL.  Replacement entities are picked
+    by the same md5-over-vocabulary gate as
+    operators/kg_training.negative_samples, and corruptions colliding
+    with ANY true triple (on the corrupted side) are filtered.
+
+Scale notes: every operator is joins + hash aggs on the (model-sized
+relative to 100 TB of text) triple table; vocabularies and the
+per-predicate cardinality profile are broadcast-sized.  The only global
+sorts are the vocabulary row_numbers (documented non-issue, see
+operators/kg_training.py).  Inference joins shuffle on the shared
+entity — AQE handles hub skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import broadcast
+
+from palladian_spark.operators.kg_training import _md5_long, entity_vocabulary
+
+#: (pred_a, pred_b, inferred_pred): a(x,y) ∧ b(y,z) ⇒ inferred(x,z)
+DEFAULT_RULES = [("works_for", "located_in", "based_in")]
+
+
+def infer_triples(triples: DataFrame,
+                  rules: list[tuple[str, str, str]] | None = None
+                  ) -> DataFrame:
+    """One forward-chaining step: for each composition rule emit the
+    derived (subj, pred, obj, rule) facts NOT already asserted.  Output
+    is distinct; ``rule`` is ``'pred_a.pred_b'`` provenance."""
+    rules = DEFAULT_RULES if rules is None else rules
+    t = triples.select("subj", "pred", "obj").distinct()
+    derived = None
+    for pred_a, pred_b, pred_c in rules:
+        a = (t.where(F.col("pred") == pred_a)
+             .select(F.col("subj").alias("x"), F.col("obj").alias("y")))
+        b = (t.where(F.col("pred") == pred_b)
+             .select(F.col("subj").alias("y"), F.col("obj").alias("z")))
+        d = (a.join(b, "y")
+             .select(F.col("x").alias("subj"),
+                     F.lit(pred_c).alias("pred"),
+                     F.col("z").alias("obj"),
+                     F.lit(f"{pred_a}.{pred_b}").alias("rule"))
+             .distinct())
+        derived = d if derived is None else derived.unionByName(d)
+    return derived.join(t, ["subj", "pred", "obj"], "left_anti")
+
+
+def relation_cardinality(triples: DataFrame,
+                         threshold: float = 1.5) -> DataFrame:
+    """Per-predicate cardinality profile over DISTINCT edges:
+    (pred, n_edges, n_subj, n_obj, tph, hpt, category).  tph/hpt are
+    single IEEE divisions of exact longs — engine-portable."""
+    t = triples.select("subj", "pred", "obj").distinct()
+    prof = t.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"))
+    tph = (F.col("n_edges") / F.col("n_subj")).alias("tph")
+    hpt = (F.col("n_edges") / F.col("n_obj")).alias("hpt")
+    cat = (F.when((F.col("tph") <= threshold) & (F.col("hpt") <= threshold),
+                  F.lit("1-1"))
+           .when((F.col("tph") > threshold) & (F.col("hpt") <= threshold),
+                 F.lit("1-N"))
+           .when((F.col("tph") <= threshold) & (F.col("hpt") > threshold),
+                 F.lit("N-1"))
+           .otherwise(F.lit("N-N")))
+    return (prof.select("pred", "n_edges", "n_subj", "n_obj", tph, hpt)
+            .withColumn("category", cat))
+
+
+def resolve_facts(triples: DataFrame) -> DataFrame:
+    """Truth finding: per (subj, pred) keep the single object with the
+    most supporting (conv, turn) observations (evidence count), ties by
+    object ascending.  Output: (subj, pred, obj, evidence,
+    n_alternatives, total_evidence).
+
+    Two hash aggs + one per-(subj, pred) window over the EDGE table
+    (already aggregated — window input is edge-sized, not
+    observation-sized)."""
+    ev = (triples.groupBy("subj", "pred", "obj")
+          .agg(F.count(F.lit(1)).alias("evidence")))
+    w = Window.partitionBy("subj", "pred")
+    ranked = (ev
+              .withColumn("n_alternatives", F.count(F.lit(1)).over(w))
+              .withColumn("total_evidence", F.sum("evidence").over(w))
+              .withColumn("_rn", F.row_number().over(
+                  w.orderBy(F.col("evidence").desc(), F.col("obj").asc()))))
+    return (ranked.where(F.col("_rn") == 1)
+            .select("subj", "pred", "obj", "evidence",
+                    "n_alternatives", "total_evidence"))
+
+
+def predicate_vocabulary(triples: DataFrame) -> DataFrame:
+    """Dense (pred, p_idx) index — predicate set is tiny."""
+    return (triples.select("pred").distinct()
+            .withColumn("p_idx",
+                        F.row_number().over(Window.orderBy("pred")) - 1))
+
+
+def encode_triples(triples: DataFrame) -> DataFrame:
+    """Dense int64 (s_idx, p_idx, o_idx) encoding of the distinct triple
+    set — the tensor format KG-embedding trainers ingest.  Vocabulary
+    joins are broadcast (model-sized)."""
+    t = triples.select("subj", "pred", "obj").distinct()
+    vocab = entity_vocabulary(t)
+    pvocab = predicate_vocabulary(t)
+    return (t
+            .join(broadcast(vocab.withColumnRenamed("entity", "subj")
+                            .withColumnRenamed("idx", "s_idx")), "subj")
+            .join(broadcast(pvocab), "pred")
+            .join(broadcast(vocab.withColumnRenamed("entity", "obj")
+                            .withColumnRenamed("idx", "o_idx")), "obj")
+            .select(F.col("s_idx").cast("long").alias("s_idx"),
+                    F.col("p_idx").cast("long").alias("p_idx"),
+                    F.col("o_idx").cast("long").alias("o_idx")))
+
+
+def bernoulli_negative_samples(triples: DataFrame, n_neg: int = 2,
+                               salt: str = "kgbern") -> DataFrame:
+    """Cardinality-aware filtered negative sampling (TransH Bernoulli):
+    per distinct triple and slot k < ``n_neg``, corrupt the HEAD with
+    probability tph/(tph+hpt) = n_obj/(n_subj+n_obj) for the triple's
+    predicate (an exact integer hash gate — no floats), else the TAIL;
+    the replacement entity is md5-picked from the vocabulary.  No-op
+    corruptions and corruptions that reproduce ANY true triple are
+    dropped.  Output: (subj, pred, obj, k, side, neg_subj, neg_obj)
+    where exactly one of neg_subj/neg_obj differs from the original."""
+    t = triples.select("subj", "pred", "obj").distinct()
+    vocab = entity_vocabulary(t)
+    n_ent = vocab.agg(F.count("*").alias("_n_ent"))
+    card = relation_cardinality(t).select("pred", "n_subj", "n_obj")
+
+    cand = (t.withColumn("k", F.explode(F.sequence(F.lit(0),
+                                                   F.lit(n_neg - 1))))
+            .join(broadcast(card), "pred")
+            .crossJoin(broadcast(n_ent))
+            .withColumn("side", F.when(
+                F.pmod(_md5_long(F.lit(salt), F.lit("side"), F.col("subj"),
+                                 F.col("pred"), F.col("obj"), F.col("k")),
+                       F.col("n_subj") + F.col("n_obj")) < F.col("n_obj"),
+                F.lit("head")).otherwise(F.lit("tail")))
+            .withColumn("idx", F.pmod(
+                _md5_long(F.lit(salt), F.col("subj"), F.col("pred"),
+                          F.col("obj"), F.col("k")), F.col("_n_ent")))
+            .drop("_n_ent", "n_subj", "n_obj"))
+    corrupted = (cand.join(broadcast(vocab), "idx")
+                 .withColumn("neg_subj", F.when(F.col("side") == "head",
+                                                F.col("entity"))
+                             .otherwise(F.col("subj")))
+                 .withColumn("neg_obj", F.when(F.col("side") == "tail",
+                                               F.col("entity"))
+                             .otherwise(F.col("obj")))
+                 .drop("idx", "entity")
+                 .where((F.col("neg_subj") != F.col("subj"))
+                        | (F.col("neg_obj") != F.col("obj"))))
+    true_neg = t.select(F.col("subj").alias("neg_subj"), "pred",
+                        F.col("obj").alias("neg_obj"))
+    return (corrupted.join(true_neg, ["neg_subj", "pred", "neg_obj"],
+                           "left_anti")
+            .select("subj", "pred", "obj", "k", "side",
+                    "neg_subj", "neg_obj"))
