@@ -1080,6 +1080,71 @@ def _q_kg_bernoulli_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q_triples(spark, sf_dir).select("subj", "pred", "obj"), n_neg=2)
 
 
+def _kg_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation-level triples with timestamps: the pipeline's triples
+    joined to the distinct (conv, turn, ts) turn timestamps (duplicate
+    (conv_id, turn_idx) transcript keys carry several ts by
+    construction — each is a distinct observation)."""
+    tst = (_tpch_transcripts(spark, sf_dir)
+           .select("conv_id", "turn_idx", "ts").distinct())
+    return (_q_triples(spark, sf_dir)
+            .join(tst, ["conv_id", "turn_idx"])
+            .select("subj", "pred", "obj", "ts", "conv_id", "turn_idx")
+            .distinct())
+
+
+def _q_fact_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 fact history: per (subj, pred) the object-change intervals
+    [valid_from, valid_to) with 1-based versions over the timestamped
+    observation stream."""
+    from palladian_spark.operators.kg_temporal import fact_transitions
+    return fact_transitions(_kg_observations(spark, sf_dir))
+
+
+def _q_entity_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity activity profile (obs count, distinct convs, first/last
+    seen, subject/object role split) over the observation stream."""
+    from palladian_spark.operators.kg_temporal import entity_timeline
+    return entity_timeline(_kg_observations(spark, sf_dir))
+
+
+def _q_schema_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instance-driven schema induction: per (pred, subj_type, obj_type)
+    support and within-predicate fraction (type = first surface token)."""
+    from palladian_spark.operators.kg_fusion import schema_induction
+    return schema_induction(_q_triples(spark, sf_dir))
+
+
+def _q_export_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-materialize export: the distinct triple set serialized as
+    N-Triples lines with namespace-minted IRIs."""
+    from palladian_spark.operators.kg_fusion import export_ntriples
+    return export_ntriples(_q_triples(spark, sf_dir))
+
+
+def _q_resolve_pronouns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreference-lite: a turn-leading pronoun per turn, resolved to the
+    nearest PRECEDING type-compatible mention under stable (turn_idx,
+    start) order — cross-turn by construction (the pronoun site sorts
+    before the same turn's own mentions).  The oracle derives the
+    expected antecedent analytically (previous turn's PER mention), not
+    by replaying the window."""
+    from palladian_spark.operators.coref import resolve_pronouns
+    from palladian_spark.operators.mentions import extract_candidates
+    tr = _tpch_transcripts(spark, sf_dir)
+    typed = _tpch_entity_dict(spark, sf_dir).select(
+        F.col("surface").alias("value"), F.col("concept").alias("tag"))
+    mentions = (extract_candidates(tr)
+                .select("conv_id", "turn_idx", "start", "value")
+                .join(F.broadcast(typed), "value"))
+    pronouns = (tr.select("conv_id", "turn_idx").distinct()
+                .select("conv_id", "turn_idx", F.lit(0).alias("start"),
+                        F.lit("he").alias("pronoun")))
+    return (resolve_pronouns(mentions, pronouns)
+            .select("conv_id", "turn_idx", "pronoun", "antecedent",
+                    "ant_turn"))
+
+
 def _q_canonicalize_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end surface canonicalization (north-rule 'canonicalization'
     composed): distinct surfaces + freq → within-block char-3-gram Dice
@@ -1337,6 +1402,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_resolve_facts": _q_kg_resolve_facts,
         "kg_encode_triples": _q_kg_encode_triples,
         "kg_bernoulli_negatives": _q_kg_bernoulli_negatives,
+        "resolve_pronouns": _q_resolve_pronouns,
+        "fact_transitions": _q_fact_transitions,
+        "entity_timeline": _q_entity_timeline,
+        "schema_induction": _q_schema_induction,
+        "export_ntriples": _q_export_ntriples,
         "canonicalize_surfaces": _q_canonicalize_surfaces,
         "asof_join_state": _q_asof_join_state,
         "interval_join_incidents": _q_interval_join_incidents,
@@ -1435,6 +1505,32 @@ WITH base AS (
   JOIN orders o   ON l.l_orderkey = o.o_orderkey
   JOIN supplier s ON l.l_suppkey  = s.s_suppkey
 )
+"""
+
+#: _BASE_CTE plus per-turn timestamps and the deduplicated,
+#: observation-level triple stream (triples × distinct turn timestamps —
+#: duplicate (conv_id, turn_idx) transcript keys carry several ts by
+#: construction, each a distinct observation; mirrors _kg_observations).
+_TS_BASE_CTE = """
+WITH base AS (
+  SELECT 'conv-' || CAST(l.l_orderkey AS VARCHAR) AS conv_id,
+         CAST(l.l_linenumber AS INT) AS turn_idx,
+         'Customer C' || CAST(o.o_custkey AS VARCHAR) AS cust,
+         'Supplier S' || CAST(l.l_suppkey AS VARCHAR) AS supp,
+         'Nation N'  || CAST(s.s_nationkey AS VARCHAR) AS nat,
+         l.l_shipdate AS ts
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+),
+tr AS (SELECT DISTINCT conv_id, turn_idx, cust AS subj,
+              'works_for' AS pred, supp AS obj
+       FROM base
+       UNION SELECT DISTINCT conv_id, turn_idx, supp, 'located_in', nat
+       FROM base),
+tst AS (SELECT DISTINCT conv_id, turn_idx, ts FROM base),
+obs AS (SELECT DISTINCT subj, pred, obj, ts, tr.conv_id, tr.turn_idx
+        FROM tr JOIN tst USING (conv_id, turn_idx)),
 """
 
 
@@ -2187,6 +2283,64 @@ SELECT f.subj, f.pred, f.obj, CAST(f.k AS INT) AS k, f.side,
 FROM flt f LEFT JOIN t ON f.neg_subj = t.subj AND f.pred = t.pred
                       AND f.neg_obj = t.obj
 WHERE t.subj IS NULL
+""",
+        "resolve_pronouns": _BASE_CTE + """
+, tt AS (SELECT conv_id, turn_idx, min(cust) AS cust
+         FROM base GROUP BY 1, 2),
+r AS (SELECT conv_id, turn_idx, cust,
+             lag(turn_idx) OVER (PARTITION BY conv_id
+                                 ORDER BY turn_idx) AS prev
+      FROM tt)
+SELECT conv_id, turn_idx, 'he' AS pronoun,
+       CASE WHEN prev IS NOT NULL THEN cust END AS antecedent,
+       prev AS ant_turn
+FROM r
+""",
+        "fact_transitions": _TS_BASE_CTE + """
+ord AS (SELECT subj, pred, obj, ts, conv_id, turn_idx,
+               lag(obj) OVER (PARTITION BY subj, pred
+                              ORDER BY ts, conv_id, turn_idx, obj) AS prev
+        FROM obs),
+chg AS (SELECT subj, pred, obj, ts AS valid_from, conv_id, turn_idx
+        FROM ord WHERE prev IS NULL OR prev <> obj)
+SELECT subj, pred, obj, valid_from,
+       lead(valid_from) OVER (PARTITION BY subj, pred
+                              ORDER BY valid_from, conv_id, turn_idx, obj)
+         AS valid_to,
+       CAST(row_number() OVER (PARTITION BY subj, pred
+                               ORDER BY valid_from, conv_id, turn_idx, obj)
+            AS INT) AS version
+FROM chg
+""",
+        "entity_timeline": _TS_BASE_CTE + """
+roles AS (SELECT subj AS entity, conv_id, ts, 1 AS is_subj FROM obs
+          UNION ALL SELECT obj, conv_id, ts, 0 FROM obs)
+SELECT entity, count(*) AS n_obs, count(DISTINCT conv_id) AS n_convs,
+       min(ts) AS first_seen, max(ts) AS last_seen,
+       CAST(sum(is_subj) AS BIGINT) AS n_as_subj,
+       CAST(sum(1 - is_subj) AS BIGINT) AS n_as_obj
+FROM roles GROUP BY entity
+""",
+        "schema_induction": _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
+        FROM base
+        UNION SELECT DISTINCT supp, 'located_in', nat FROM base),
+prof AS (SELECT pred, split_part(subj, ' ', 1) AS subj_type,
+                split_part(obj, ' ', 1) AS obj_type,
+                count(*) AS n_edges
+         FROM t GROUP BY 1, 2, 3)
+SELECT pred, subj_type, obj_type, n_edges,
+       CAST(n_edges AS DOUBLE) / sum(n_edges) OVER (PARTITION BY pred)
+         AS frac
+FROM prof
+""",
+        "export_ntriples": _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
+        FROM base
+        UNION SELECT DISTINCT supp, 'located_in', nat FROM base)
+SELECT '<urn:ent:' || replace(subj, ' ', '_') || '> <urn:rel:' || pred
+       || '> <urn:ent:' || replace(obj, ' ', '_') || '> .' AS ntriple
+FROM t
 """,
         "canonicalize_surfaces": """
 WITH RECURSIVE s AS (

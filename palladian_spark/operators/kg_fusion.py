@@ -141,6 +141,45 @@ def encode_triples(triples: DataFrame) -> DataFrame:
                     F.col("o_idx").cast("long").alias("o_idx")))
 
 
+def schema_induction(triples: DataFrame,
+                     type_expr=None) -> DataFrame:
+    """Induce the KG schema from the instance data: per (pred,
+    subj_type, obj_type) the distinct-edge support and its fraction of
+    the predicate's edges.  ``type_expr`` maps an entity column to its
+    type (default: the first whitespace token — the convention of the
+    canonical-entity surfaces).  One hash agg + a per-predicate window
+    over the (tiny) profile."""
+    if type_expr is None:
+        type_expr = lambda c: F.substring_index(c, " ", 1)  # noqa: E731
+    t = triples.select("subj", "pred", "obj").distinct()
+    prof = (t.select("pred",
+                     type_expr(F.col("subj")).alias("subj_type"),
+                     type_expr(F.col("obj")).alias("obj_type"))
+            .groupBy("pred", "subj_type", "obj_type")
+            .agg(F.count(F.lit(1)).alias("n_edges")))
+    w = Window.partitionBy("pred")
+    return prof.withColumn(
+        "frac", F.col("n_edges") / F.sum("n_edges").over(w))
+
+
+def export_ntriples(triples: DataFrame,
+                    ent_ns: str = "urn:ent:",
+                    rel_ns: str = "urn:rel:") -> DataFrame:
+    """Serialize the distinct triple set as N-Triples lines (the
+    graph-materialize export format): IRIs are minted by prefixing the
+    namespace and replacing spaces with underscores (surfaces are
+    word-shaped by construction; a full IRI-escaper would go here for
+    arbitrary input).  Pure codegen projection — no shuffle beyond the
+    distinct."""
+    iri = lambda ns, c: F.concat(  # noqa: E731
+        F.lit("<" + ns), F.regexp_replace(c, " ", "_"), F.lit(">"))
+    t = triples.select("subj", "pred", "obj").distinct()
+    return t.select(
+        F.concat_ws(" ", iri(ent_ns, F.col("subj")),
+                    iri(rel_ns, F.col("pred")),
+                    iri(ent_ns, F.col("obj")), F.lit(".")).alias("ntriple"))
+
+
 def bernoulli_negative_samples(triples: DataFrame, n_neg: int = 2,
                                salt: str = "kgbern") -> DataFrame:
     """Cardinality-aware filtered negative sampling (TransH Bernoulli):

@@ -1,0 +1,73 @@
+"""Temporal KG operators: fact validity history and entity timelines.
+
+Beyond-the-reference construction (the reference emits a flat triple set;
+SURVEY.md §2.8): transcripts carry a per-turn timestamp, so the same
+(subj, pred) can assert different objects over time.  These operators
+turn the observation stream into the temporal artifacts a KG consumer
+expects:
+
+  * fact_transitions — SCD2-style fact history: per (subj, pred), order
+    the deduplicated observations by (ts, conv_id, turn_idx, obj) — a
+    total order, since observation rows are distinct — and emit one row
+    per OBJECT CHANGE with its validity interval [valid_from, valid_to)
+    and a 1-based version number (valid_to IS NULL = current fact).
+  * entity_timeline — per entity (union of subject and object roles):
+    observation count, distinct conversations, first/last seen
+    timestamps, and the per-role split.
+
+Scale notes: fact_transitions is one shuffle on (subj, pred) feeding two
+same-ordered windows (lag to detect changes, lead/row_number to close
+intervals); per-key history length is bounded by that fact's evidence,
+so hot (subj, pred) keys are the same skew the evidence aggregations
+already tolerate.  entity_timeline is a union + one hash agg
+(map-side-combinable).  Neither collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_OBS_COLS = ["subj", "pred", "obj", "ts", "conv_id", "turn_idx"]
+
+
+def fact_transitions(observations: DataFrame) -> DataFrame:
+    """SCD2 fact history over (subj, pred, obj, ts, conv_id, turn_idx)
+    observation rows (duplicates collapsed).  Output: (subj, pred, obj,
+    valid_from, valid_to, version) — one row per change of object, with
+    valid_to = the next change's valid_from (NULL for the current fact)
+    and version the 1-based change index."""
+    obs = observations.select(*_OBS_COLS).distinct()
+    order = [F.col("ts").asc(), F.col("conv_id").asc(),
+             F.col("turn_idx").asc(), F.col("obj").asc()]
+    w = Window.partitionBy("subj", "pred").orderBy(*order)
+    chg = (obs
+           .withColumn("_prev", F.lag("obj").over(w))
+           .where(F.col("_prev").isNull() | (F.col("_prev") != F.col("obj")))
+           .select("subj", "pred", "obj",
+                   F.col("ts").alias("valid_from"), "conv_id", "turn_idx"))
+    w2 = Window.partitionBy("subj", "pred").orderBy(
+        F.col("valid_from").asc(), F.col("conv_id").asc(),
+        F.col("turn_idx").asc(), F.col("obj").asc())
+    return (chg
+            .withColumn("valid_to", F.lead("valid_from").over(w2))
+            .withColumn("version", F.row_number().over(w2))
+            .select("subj", "pred", "obj", "valid_from", "valid_to",
+                    "version"))
+
+
+def entity_timeline(observations: DataFrame) -> DataFrame:
+    """Per-entity activity profile over the observation stream: entity,
+    n_obs (rows where it appears in that role), n_convs (distinct
+    conversations), first_seen/last_seen, n_as_subj/n_as_obj."""
+    obs = observations.select(*_OBS_COLS).distinct()
+    roles = (obs.select(F.col("subj").alias("entity"), "conv_id", "ts",
+                        F.lit(1).alias("is_subj"))
+             .unionAll(obs.select(F.col("obj").alias("entity"), "conv_id",
+                                  "ts", F.lit(0).alias("is_subj"))))
+    return roles.groupBy("entity").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.sum("is_subj").cast("long").alias("n_as_subj"),
+        F.sum(1 - F.col("is_subj")).cast("long").alias("n_as_obj"))
