@@ -1122,6 +1122,26 @@ def _q_export_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export_ntriples(_q_triples(spark, sf_dir))
 
 
+def _q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG maintenance diff: the constructed KG restricted to turns ≤ 3
+    (the 'previous snapshot') vs the full KG — added/changed/unchanged
+    edges with observation-evidence counts on both sides."""
+    from pyspark.storagelevel import StorageLevel
+
+    from palladian_spark.graph import kg_snapshot_diff
+    # persist: both diff sides are views of the same triple table —
+    # without it the NER kernel runs twice
+    t = _q_triples(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    return kg_snapshot_diff(t.where(F.col("turn_idx") <= 3), t)
+
+
+def _q_kg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row structural summary of the constructed KG (node/edge/
+    predicate counts, degree extremes, average out-degree)."""
+    from palladian_spark.graph import kg_summary
+    return kg_summary(_q_triples(spark, sf_dir))
+
+
 def _q_resolve_pronouns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coreference-lite: a turn-leading pronoun per turn, resolved to the
     nearest PRECEDING type-compatible mention under stable (turn_idx,
@@ -1403,6 +1423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_encode_triples": _q_kg_encode_triples,
         "kg_bernoulli_negatives": _q_kg_bernoulli_negatives,
         "resolve_pronouns": _q_resolve_pronouns,
+        "kg_snapshot_diff": _q_kg_snapshot_diff,
+        "kg_summary": _q_kg_summary,
         "fact_transitions": _q_fact_transitions,
         "entity_timeline": _q_entity_timeline,
         "schema_induction": _q_schema_induction,
@@ -2283,6 +2305,44 @@ SELECT f.subj, f.pred, f.obj, CAST(f.k AS INT) AS k, f.side,
 FROM flt f LEFT JOIN t ON f.neg_subj = t.subj AND f.pred = t.pred
                       AND f.neg_obj = t.obj
 WHERE t.subj IS NULL
+""",
+        "kg_snapshot_diff": _BASE_CTE + """
+, tr AS (SELECT DISTINCT conv_id, turn_idx, cust AS subj,
+                'works_for' AS pred, supp AS obj
+         FROM base
+         UNION SELECT DISTINCT conv_id, turn_idx, supp, 'located_in', nat
+         FROM base),
+o AS (SELECT subj, pred, obj, count(*) AS old_evidence
+      FROM tr WHERE turn_idx <= 3 GROUP BY 1, 2, 3),
+n AS (SELECT subj, pred, obj, count(*) AS new_evidence
+      FROM tr GROUP BY 1, 2, 3)
+SELECT COALESCE(o.subj, n.subj) AS subj,
+       COALESCE(o.pred, n.pred) AS pred,
+       COALESCE(o.obj, n.obj) AS obj,
+       CASE WHEN o.subj IS NULL THEN 'added'
+            WHEN n.subj IS NULL THEN 'removed'
+            WHEN o.old_evidence <> n.new_evidence THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       COALESCE(old_evidence, 0) AS old_evidence,
+       COALESCE(new_evidence, 0) AS new_evidence
+FROM o FULL JOIN n ON o.subj = n.subj AND o.pred = n.pred
+                  AND o.obj = n.obj
+""",
+        "kg_summary": _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
+        FROM base
+        UNION SELECT DISTINCT supp, 'located_in', nat FROM base),
+deg AS (SELECT subj AS node, count(*) AS out_degree FROM t GROUP BY 1),
+ind AS (SELECT obj AS node, count(*) AS in_degree FROM t GROUP BY 1),
+nodes AS (SELECT COALESCE(d.node, i.node) AS node,
+                 COALESCE(out_degree, 0) AS od,
+                 COALESCE(in_degree, 0) AS ind
+          FROM deg d FULL JOIN ind i ON d.node = i.node)
+SELECT count(*) AS n_nodes, CAST(sum(od) AS BIGINT) AS n_edges,
+       (SELECT count(DISTINCT pred) FROM t) AS n_predicates,
+       max(od) AS max_out_degree, max(ind) AS max_in_degree,
+       CAST(sum(od) AS DOUBLE) / count(*) AS avg_out_degree
+FROM nodes
 """,
         "resolve_pronouns": _BASE_CTE + """
 , tt AS (SELECT conv_id, turn_idx, min(cust) AS cust

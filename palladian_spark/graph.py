@@ -428,3 +428,49 @@ def connected_components(pairs: DataFrame, src_col: str = "a_id",
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
+
+
+def kg_snapshot_diff(old_triples: DataFrame,
+                     new_triples: DataFrame) -> DataFrame:
+    """KG maintenance: edge-level diff between two snapshot triple sets.
+
+    Output per distinct (subj, pred, obj) present in EITHER snapshot:
+    (subj, pred, obj, status, old_evidence, new_evidence) where status ∈
+    {added, removed, changed, unchanged} — `changed` = present in both
+    with a different observation count (evidence drift without an edge
+    flip).  One full outer join of two map-side-combinable evidence
+    aggs; the diff shuffles on the triple key only."""
+    def ev(t, name):
+        return (t.groupBy("subj", "pred", "obj")
+                .agg(F.count(F.lit(1)).alias(name)))
+    o = ev(old_triples, "old_evidence")
+    n = ev(new_triples, "new_evidence")
+    j = o.join(n, ["subj", "pred", "obj"], "full_outer")
+    status = (F.when(F.col("old_evidence").isNull(), F.lit("added"))
+              .when(F.col("new_evidence").isNull(), F.lit("removed"))
+              .when(F.col("old_evidence") != F.col("new_evidence"),
+                    F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    return j.select(
+        "subj", "pred", "obj", status.alias("status"),
+        F.coalesce("old_evidence", F.lit(0)).alias("old_evidence"),
+        F.coalesce("new_evidence", F.lit(0)).alias("new_evidence"))
+
+
+def kg_summary(triples: DataFrame) -> DataFrame:
+    """One-row structural summary of the KG over DISTINCT edges:
+    (n_nodes, n_edges, n_predicates, max_out_degree, max_in_degree,
+    avg_out_degree) — avg_out_degree = n_edges / n_nodes as an IEEE
+    division of exact longs.  Built from the kg_degrees profile (two
+    map-side aggs) + one global agg of the node-sized table."""
+    e = triples.select("subj", "pred", "obj").distinct()
+    stats = kg_degrees(e).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("out_degree").cast("long").alias("n_edges"),
+        F.max("out_degree").alias("max_out_degree"),
+        F.max("in_degree").alias("max_in_degree"),
+        (F.sum("out_degree") / F.count(F.lit(1))).alias("avg_out_degree"))
+    n_pred = e.agg(F.countDistinct("pred").alias("n_predicates"))
+    return stats.crossJoin(n_pred).select(
+        "n_nodes", "n_edges", "n_predicates", "max_out_degree",
+        "max_in_degree", "avg_out_degree")
