@@ -1122,6 +1122,16 @@ def _q_export_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export_ntriples(_q_triples(spark, sf_dir))
 
 
+def _q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (2 unnormalized iterations — exact integer
+    path counts, one end normalization) over the constructed KG's
+    subj→obj edge set."""
+    from palladian_spark.graph import hits
+    return hits(_q_triples(spark, sf_dir)
+                .select(F.col("subj").alias("src"),
+                        F.col("obj").alias("dst")), n_iter=2)
+
+
 def _q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG maintenance diff: the constructed KG restricted to turns ≤ 3
     (the 'previous snapshot') vs the full KG — added/changed/unchanged
@@ -1423,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_encode_triples": _q_kg_encode_triples,
         "kg_bernoulli_negatives": _q_kg_bernoulli_negatives,
         "resolve_pronouns": _q_resolve_pronouns,
+        "kg_hits": _q_kg_hits,
         "kg_snapshot_diff": _q_kg_snapshot_diff,
         "kg_summary": _q_kg_summary,
         "fact_transitions": _q_fact_transitions,
@@ -2305,6 +2316,27 @@ SELECT f.subj, f.pred, f.obj, CAST(f.k AS INT) AS k, f.side,
 FROM flt f LEFT JOIN t ON f.neg_subj = t.subj AND f.pred = t.pred
                       AND f.neg_obj = t.obj
 WHERE t.subj IS NULL
+""",
+        "kg_hits": _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
+        FROM base
+        UNION SELECT DISTINCT supp, 'located_in', nat FROM base),
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM t),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+a1 AS (SELECT dst AS node, count(*) AS a FROM e GROUP BY dst),
+h1 AS (SELECT e.src AS node, CAST(sum(a1.a) AS BIGINT) AS h
+       FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+a2 AS (SELECT e.dst AS node, CAST(sum(h1.h) AS BIGINT) AS a
+       FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+h2 AS (SELECT e.src AS node, CAST(sum(a2.a) AS BIGINT) AS h
+       FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src),
+sc AS (SELECT n.node, COALESCE(h2.h, 0) AS hub, COALESCE(a2.a, 0) AS auth
+       FROM nodes n LEFT JOIN h2 ON n.node = h2.node
+                    LEFT JOIN a2 ON n.node = a2.node)
+SELECT node, hub, auth,
+       CAST(hub AS DOUBLE) / CAST(sum(hub) OVER () AS DOUBLE) AS hub_norm,
+       CAST(auth AS DOUBLE) / CAST(sum(auth) OVER () AS DOUBLE) AS auth_norm
+FROM sc
 """,
         "kg_snapshot_diff": _BASE_CTE + """
 , tr AS (SELECT DISTINCT conv_id, turn_idx, cust AS subj,

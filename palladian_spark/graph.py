@@ -474,3 +474,51 @@ def kg_summary(triples: DataFrame) -> DataFrame:
     return stats.crossJoin(n_pred).select(
         "n_nodes", "n_edges", "n_predicates", "max_out_degree",
         "max_in_degree", "avg_out_degree")
+
+
+def hits(edges: DataFrame, n_iter: int = 2,
+         src_col: str = "src", dst_col: str = "dst",
+         checkpoint: bool = False,
+         checkpoint_dir: str | None = None) -> DataFrame:
+    """HITS hubs & authorities over the DISTINCT directed edge set,
+    UNNORMALIZED for ``n_iter`` iterations: h⁰ = 1; aᵏ(v) = Σ_{u→v}
+    hᵏ⁻¹(u); hᵏ(u) = Σ_{u→v} aᵏ(v).  Without per-iteration
+    normalization every score is an exact integer path count (aᵏ counts
+    alternating back-forward walks), so the whole iteration is
+    engine-portable — the norms only matter for convergence, not for a
+    fixed-iteration ranking.  The one division happens at the END: each
+    score over its global sum, a single IEEE op per row.
+
+    Output: (node, hub, auth, hub_norm, auth_norm).  Same shuffle shape
+    as :func:`pagerank` (two join+agg rounds per iteration, node-sized
+    state); ``checkpoint``/``checkpoint_dir`` cut lineage identically.
+    """
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst")).distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    hubs = nodes.withColumn("hub", F.lit(1).cast("long"))
+    auths = None
+    for _ in range(n_iter):
+        a = (e.join(hubs, e.src == hubs.node)
+             .groupBy(F.col("dst").alias("node"))
+             .agg(F.sum("hub").alias("_a")))
+        auths = (nodes.join(a, "node", "left")
+                 .select("node", F.coalesce("_a", F.lit(0))
+                         .cast("long").alias("auth")))
+        h = (e.join(auths, e.dst == auths.node)
+             .groupBy(F.col("src").alias("node"))
+             .agg(F.sum("auth").alias("_h")))
+        hubs = (nodes.join(h, "node", "left")
+                .select("node", F.coalesce("_h", F.lit(0))
+                        .cast("long").alias("hub")))
+        if checkpoint or checkpoint_dir is not None:
+            hubs = _lineage_cut(hubs, checkpoint_dir, eager=False)
+            auths = _lineage_cut(auths, checkpoint_dir, eager=False)
+    scored = hubs.join(auths, "node")
+    totals = scored.agg(F.sum("hub").alias("_th"),
+                        F.sum("auth").alias("_ta"))
+    return (scored.crossJoin(F.broadcast(totals))
+            .select("node", "hub", "auth",
+                    (F.col("hub") / F.col("_th")).alias("hub_norm"),
+                    (F.col("auth") / F.col("_ta")).alias("auth_norm")))
