@@ -479,7 +479,8 @@ def kg_summary(triples: DataFrame) -> DataFrame:
 def hits(edges: DataFrame, n_iter: int = 2,
          src_col: str = "src", dst_col: str = "dst",
          checkpoint: bool = False,
-         checkpoint_dir: str | None = None) -> DataFrame:
+         checkpoint_dir: str | None = None,
+         cache: bool = True) -> DataFrame:
     """HITS hubs & authorities over the DISTINCT directed edge set,
     UNNORMALIZED for ``n_iter`` iterations: h⁰ = 1; aᵏ(v) = Σ_{u→v}
     hᵏ⁻¹(u); hᵏ(u) = Σ_{u→v} aᵏ(v).  Without per-iteration
@@ -492,11 +493,20 @@ def hits(edges: DataFrame, n_iter: int = 2,
     Output: (node, hub, auth, hub_norm, auth_norm).  Same shuffle shape
     as :func:`pagerank` (two join+agg rounds per iteration, node-sized
     state); ``checkpoint``/``checkpoint_dir`` cut lineage identically.
+
+    ``cache`` persists the distinct edge and node sets — every
+    iteration joins ``e`` twice, so without it a lazy upstream plan
+    (e.g. the whole NER pipeline) re-executes 4·n_iter times.
     """
+    from pyspark.storagelevel import StorageLevel
     e = edges.select(F.col(src_col).alias("src"),
                      F.col(dst_col).alias("dst")).distinct()
+    if cache:
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node"))).distinct())
+    if cache:
+        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     hubs = nodes.withColumn("hub", F.lit(1).cast("long"))
     auths = None
     for _ in range(n_iter):
