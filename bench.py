@@ -104,7 +104,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # NER kernel as their input because contract queries are
     # self-contained by design; see NOTES.md)
     from pyspark.sql import functions as F
-    from palladian_spark.graph import kg_degrees, kg_triangles, pagerank
+    from palladian_spark.graph import (hits, kg_degrees, kg_snapshot_diff,
+                                       kg_triangles, pagerank)
     t0 = time.time()
     triples = queries["kg_triples"](spark, sf_dir).cache()
     triples.count()
@@ -127,6 +128,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             triples.select(F.col("subj").alias("src"),
                            F.col("obj").alias("dst")), n_iter=3)),
         ("kg_triangles", lambda: kg_triangles(_comention_edges())),
+        ("kg_hits", lambda: hits(
+            triples.select(F.col("subj").alias("src"),
+                           F.col("obj").alias("dst")), n_iter=2)),
+        ("kg_snapshot_diff", lambda: kg_snapshot_diff(
+            triples.where(F.col("turn_idx") <= 3), triples)),
     ]:
         best = None
         for _ in range(2):
