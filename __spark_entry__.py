@@ -1132,6 +1132,17 @@ def _q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("obj").alias("dst")), n_iter=2)
 
 
+def _q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection: 2 synchronous min-tie-break label-propagation
+    rounds over the undirected subj—obj graph (deterministic, replayed
+    round-by-round in the oracle)."""
+    from palladian_spark.graph import label_propagation
+    return label_propagation(
+        _q_triples(spark, sf_dir).select(F.col("subj").alias("src"),
+                                         F.col("obj").alias("dst")),
+        n_iter=2)
+
+
 def _q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG maintenance diff: the constructed KG restricted to turns ≤ 3
     (the 'previous snapshot') vs the full KG — added/changed/unchanged
@@ -1434,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bernoulli_negatives": _q_kg_bernoulli_negatives,
         "resolve_pronouns": _q_resolve_pronouns,
         "kg_hits": _q_kg_hits,
+        "kg_communities": _q_kg_communities,
         "kg_snapshot_diff": _q_kg_snapshot_diff,
         "kg_summary": _q_kg_summary,
         "fact_transitions": _q_fact_transitions,
@@ -2316,6 +2328,25 @@ SELECT f.subj, f.pred, f.obj, CAST(f.k AS INT) AS k, f.side,
 FROM flt f LEFT JOIN t ON f.neg_subj = t.subj AND f.pred = t.pred
                       AND f.neg_obj = t.obj
 WHERE t.subj IS NULL
+""",
+        "kg_communities": _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
+        FROM base
+        UNION SELECT DISTINCT supp, 'located_in', nat FROM base),
+e AS (SELECT DISTINCT subj AS u, obj AS v FROM t WHERE subj <> obj),
+nbr AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+v1 AS (SELECT u AS node, v AS label, count(*) AS n
+       FROM nbr GROUP BY u, v),
+l1 AS (SELECT node, label FROM (
+         SELECT node, label, row_number() OVER (
+           PARTITION BY node ORDER BY n DESC, label ASC) AS rn FROM v1)
+       WHERE rn = 1),
+v2 AS (SELECT nbr.u AS node, l1.label, count(*) AS n
+       FROM nbr JOIN l1 ON nbr.v = l1.node GROUP BY 1, 2)
+SELECT node, label FROM (
+  SELECT node, label, row_number() OVER (
+    PARTITION BY node ORDER BY n DESC, label ASC) AS rn FROM v2)
+WHERE rn = 1
 """,
         "kg_hits": _BASE_CTE + """
 , t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj

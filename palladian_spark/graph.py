@@ -25,7 +25,7 @@ DataFrame plans that survive a 1000-executor scale-up:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _lineage_cut(df: DataFrame, checkpoint_dir: str | None,
@@ -532,3 +532,46 @@ def hits(edges: DataFrame, n_iter: int = 2,
             .select("node", "hub", "auth",
                     (F.col("hub") / F.col("_th")).alias("hub_norm"),
                     (F.col("auth") / F.col("_ta")).alias("auth_norm")))
+
+
+def label_propagation(edges: DataFrame, n_iter: int = 2,
+                      src_col: str = "src", dst_col: str = "dst",
+                      checkpoint: bool = False,
+                      checkpoint_dir: str | None = None,
+                      cache: bool = True) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    UNDIRECTED simple graph of ``edges`` (self-loops dropped): labels
+    start as the node id; each iteration EVERY node adopts the most
+    frequent label among its neighbors, ties broken by MIN label.
+    Synchronous updates + the deterministic tie-break make the result a
+    pure function of the graph (classic async LPA is run-order
+    dependent — useless for replay), and a fixed ``n_iter`` makes it
+    SQL-replayable, exactly like :func:`pagerank` / :func:`hits`.
+
+    Output: (node, label) — nodes sharing a label after ``n_iter``
+    rounds are one community.  Per iteration: one join of the (cached)
+    symmetric neighbor list with the node-sized label table + one
+    count agg + one row_number per node — shuffles on node keys only,
+    hub skew goes to AQE."""
+    from pyspark.storagelevel import StorageLevel
+    e = (edges.select(F.col(src_col).alias("u"),
+                      F.col(dst_col).alias("v"))
+         .where(F.col("u") != F.col("v")).distinct())
+    nbr = e.unionAll(e.select(F.col("v").alias("u"),
+                              F.col("u").alias("v"))).distinct()
+    if cache:
+        nbr = nbr.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (nbr.select(F.col("u").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    w = Window.partitionBy("node").orderBy(F.col("_n").desc(),
+                                           F.col("label").asc())
+    for _ in range(n_iter):
+        votes = (nbr.join(labels.withColumnRenamed("node", "v"), "v")
+                 .groupBy(F.col("u").alias("node"), "label")
+                 .agg(F.count(F.lit(1)).alias("_n")))
+        labels = (votes.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") == 1)
+                  .select("node", "label"))
+        if checkpoint or checkpoint_dir is not None:
+            labels = _lineage_cut(labels, checkpoint_dir, eager=False)
+    return labels
