@@ -100,8 +100,15 @@ def main():
               "measured_at": time.strftime("%Y-%m-%d %H:%M:%S")}
     print(json.dumps(result, indent=2))
 
-    with open(os.path.join(REPO, "BENCH.md"), "w") as fh:
-        fh.write(f"""# BENCH — throughput & scaling evidence
+    with open(os.path.join(REPO, "BENCH_scaling.json"), "w") as fh:
+        json.dump(result, fh, indent=2)
+        fh.write("\n")
+
+    # Update ONLY the scaling section of BENCH.md (everything up to the
+    # first section the scaling run does not own), preserving the
+    # round-over-round history, marginal-cost tables, and fuzzy bench
+    # that earlier versions of this tool used to clobber.
+    section = f"""# BENCH — throughput & scaling evidence
 
 Flagship job: full KG pipeline (StringTagger NER chain → dictionary
 linking → relation patterns → canonical (subj, pred, obj) triples) over a
@@ -127,25 +134,16 @@ costs).  Each level reports the best of 2 repeats: the sandbox VM shows
 double-digit-percent wall-clock variance across identical runs
 (virtualized CPU), and best-of-N approximates uncontended capacity.
 
-**Hardware context** (`tools/cpu_calibration.py`, pure-CPU
-multiprocessing, no Spark): this sandbox's virtualized host delivers
-~0.87 scaling from 2→8 procs but only ~0.66 from 8→32
-(oversubscription), so 2→8 is the honest proxy for a real cluster where
-4N executors add nodes rather than threads on one contended host.
-
-Why this scales: the tagging+relation stage is ONE shuffle-free
-Arrow-batched mapInPandas with the model broadcast; canonicalization is
-broadcast hash joins (zero shuffles) plus one small distinct over fuzzy
-misses and one dedup aggregation — the only full-width exchanges are the
-initial salted repartition and that final agg.  The same plan shape holds
-at 1000-executor / 10^12-turn scale, where the per-session constants
-amortize to zero and the salted repartition bounds skew from hot
-conversations.
-
-Per-query timings at sf0.1 are produced by `python bench.py`
-(BENCH_r{{N}}.json); correctness for every operator is `python
-tools/check_contract.py` (37 queries vs DuckDB oracles).
-""")
+"""
+    path = os.path.join(REPO, "BENCH.md")
+    try:
+        rest = open(path).read()
+        cut = rest.index("**Hardware context**")
+        tail = rest[cut:]
+    except (FileNotFoundError, ValueError):
+        tail = ""
+    with open(path, "w") as fh:
+        fh.write(section + tail)
 
 
 if __name__ == "__main__":
