@@ -1132,6 +1132,22 @@ def _q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("obj").alias("dst")), n_iter=2)
 
 
+def _q_turn_topic_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation lexical segmentation: token-set Jaccard vs the
+    previous turn under stable (conv_id, turn_idx) order, boundary where
+    the rounded Jaccard drops below 0.2."""
+    from palladian_spark.operators.conv_analysis import turn_topic_shifts
+    return turn_topic_shifts(_tpch_transcripts(spark, sf_dir),
+                             threshold=0.2)
+
+
+def _q_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf·idf-shaped per-conversation entity importance over the
+    observation-level triple stream."""
+    from palladian_spark.operators.conv_analysis import entity_salience
+    return entity_salience(_q_triples(spark, sf_dir))
+
+
 def _q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection: 2 synchronous min-tie-break label-propagation
     rounds over the undirected subj—obj graph (deterministic, replayed
@@ -1446,6 +1462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_pronouns": _q_resolve_pronouns,
         "kg_hits": _q_kg_hits,
         "kg_communities": _q_kg_communities,
+        "turn_topic_shifts": _q_turn_topic_shifts,
+        "entity_salience": _q_entity_salience,
         "kg_snapshot_diff": _q_kg_snapshot_diff,
         "kg_summary": _q_kg_summary,
         "fact_transitions": _q_fact_transitions,
@@ -2328,6 +2346,46 @@ SELECT f.subj, f.pred, f.obj, CAST(f.k AS INT) AS k, f.side,
 FROM flt f LEFT JOIN t ON f.neg_subj = t.subj AND f.pred = t.pred
                       AND f.neg_obj = t.obj
 WHERE t.subj IS NULL
+""",
+        "turn_topic_shifts": _BASE_CTE + """
+, turns AS (SELECT conv_id, turn_idx,
+                   min(cust || ' works for ' || supp || ' in ' || nat
+                       || '.') AS text
+            FROM base GROUP BY 1, 2),
+tok AS (SELECT conv_id, turn_idx,
+               list_distinct(list_filter(
+                 string_split_regex(lower(text), '[^a-z0-9]+'),
+                 x -> x <> '')) AS toks
+        FROM turns),
+lagd AS (SELECT conv_id, turn_idx, toks,
+                lag(toks) OVER (PARTITION BY conv_id
+                                ORDER BY turn_idx) AS prev
+         FROM tok),
+jc AS (SELECT conv_id, turn_idx,
+              CASE WHEN prev IS NULL THEN NULL
+                   ELSE round(CAST(len(list_intersect(toks, prev)) AS DOUBLE)
+                              / len(list_distinct(list_concat(toks, prev))),
+                              6) END AS jaccard
+       FROM lagd)
+SELECT conv_id, turn_idx, jaccard,
+       COALESCE(jaccard < 0.2, FALSE) AS is_boundary
+FROM jc
+""",
+        "entity_salience": _BASE_CTE + """
+, tr AS (SELECT DISTINCT conv_id, turn_idx, cust AS subj,
+                'works_for' AS pred, supp AS obj
+         FROM base
+         UNION SELECT DISTINCT conv_id, turn_idx, supp, 'located_in', nat
+         FROM base),
+ment AS (SELECT conv_id, subj AS entity FROM tr
+         UNION ALL SELECT conv_id, obj FROM tr),
+pc AS (SELECT conv_id, entity, count(*) AS n_mentions
+       FROM ment GROUP BY 1, 2),
+dfv AS (SELECT entity, count(*) AS df FROM pc GROUP BY 1),
+nc AS (SELECT count(DISTINCT conv_id) AS n FROM tr)
+SELECT conv_id, entity, n_mentions, df,
+       round(n_mentions * ln(CAST(n AS DOUBLE) / df), 6) AS salience
+FROM pc JOIN dfv USING (entity) CROSS JOIN nc
 """,
         "kg_communities": _BASE_CTE + """
 , t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj

@@ -1,0 +1,73 @@
+"""Conversation-level analysis over the transcript/KG tables.
+
+North-star support operators ("turns windowed per conversation under
+stable (conv_id, turn_idx) ordering"): segmentation signals and
+per-conversation entity importance.
+
+  * turn_topic_shifts — token-set Jaccard between each turn and its
+    predecessor within the conversation; a shift below ``threshold``
+    marks a topic boundary (the cheap lexical segmentation a pipeline
+    runs before windowed extraction).  Duplicate (conv_id, turn_idx)
+    keys — present in the derived transcripts by construction — are
+    collapsed to the MIN text, the repo's deterministic turn-dedup
+    pattern.
+  * entity_salience — tf·idf-shaped importance of an entity WITHIN a
+    conversation over the observation-level triple stream: mention
+    count in the conversation × ln(N_convs / df(entity)); the one ln
+    is a single IEEE op on exact longs (engine-portable), rounded to 6
+    decimals.
+
+Scale notes: topic shifts are one shuffle (the per-conversation window;
+hot conversations are the sessionization skew AQE already handles) with
+set ops on token arrays — `array_intersect`/`array_union` are built-in
+expressions, only the empty-token filter is a (non-hot) lambda.
+Salience is two hash aggs + one broadcast-sized df join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def turn_topic_shifts(transcripts: DataFrame,
+                      threshold: float = 0.2) -> DataFrame:
+    """(conv_id, turn_idx, jaccard, is_boundary): token-set Jaccard vs
+    the previous turn (NULL on the first turn, is_boundary false
+    there)."""
+    turns = (transcripts
+             .groupBy("conv_id", "turn_idx")
+             .agg(F.min("text").alias("text")))
+    toks = F.array_distinct(F.expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    cur, prev = F.col("_toks"), F.lag("_toks").over(w)
+    jac = F.round(
+        F.size(F.array_intersect(cur, prev))
+        / F.size(F.array_union(cur, prev)), 6)
+    return (turns.withColumn("_toks", toks)
+            .withColumn("jaccard", jac)
+            .select("conv_id", "turn_idx", "jaccard",
+                    F.coalesce(F.col("jaccard") < F.lit(threshold),
+                               F.lit(False)).alias("is_boundary")))
+
+
+def entity_salience(observations: DataFrame) -> DataFrame:
+    """(conv_id, entity, n_mentions, df, salience) over observation-level
+    (subj, pred, obj, conv_id, ...) rows: n_mentions = rows in the
+    conversation where the entity fills either slot, df = conversations
+    containing it, salience = n_mentions · ln(N/df) rounded to 6."""
+    ment = (observations.select("conv_id", F.col("subj").alias("entity"))
+            .unionAll(observations.select("conv_id",
+                                          F.col("obj").alias("entity"))))
+    per_conv = (ment.groupBy("conv_id", "entity")
+                .agg(F.count(F.lit(1)).alias("n_mentions")))
+    df_t = per_conv.groupBy("entity").agg(
+        F.count(F.lit(1)).alias("df"))
+    n_convs = observations.select("conv_id").distinct() \
+        .agg(F.count(F.lit(1)).alias("_n"))
+    return (per_conv.join(df_t, "entity")
+            .crossJoin(F.broadcast(n_convs))
+            .select("conv_id", "entity", "n_mentions", "df",
+                    F.round(F.col("n_mentions")
+                            * F.log(F.col("_n") / F.col("df")), 6)
+                    .alias("salience")))
