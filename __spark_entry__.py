@@ -1132,6 +1132,19 @@ def _q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("obj").alias("dst")), n_iter=2)
 
 
+def _q_kg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite validation of the constructed KG: per-triple
+    domain/range flags vs the induced majority signature + the
+    functional-predicate single-object check."""
+    from pyspark.storagelevel import StorageLevel
+
+    from palladian_spark.operators.kg_fusion import validate_triples
+    # persist: the validator derives four reference views of the same
+    # triple table — without it the NER kernel re-runs per branch
+    t = _q_triples(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    return validate_triples(t)
+
+
 def _q_turn_topic_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation lexical segmentation: token-set Jaccard vs the
     previous turn under stable (conv_id, turn_idx) order, boundary where
@@ -1462,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_pronouns": _q_resolve_pronouns,
         "kg_hits": _q_kg_hits,
         "kg_communities": _q_kg_communities,
+        "kg_validate": _q_kg_validate,
         "turn_topic_shifts": _q_turn_topic_shifts,
         "entity_salience": _q_entity_salience,
         "kg_snapshot_diff": _q_kg_snapshot_diff,
@@ -2346,6 +2360,30 @@ SELECT f.subj, f.pred, f.obj, CAST(f.k AS INT) AS k, f.side,
 FROM flt f LEFT JOIN t ON f.neg_subj = t.subj AND f.pred = t.pred
                       AND f.neg_obj = t.obj
 WHERE t.subj IS NULL
+""",
+        "kg_validate": _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
+        FROM base
+        UNION SELECT DISTINCT supp, 'located_in', nat FROM base),
+prof AS (SELECT pred, split_part(subj, ' ', 1) AS st,
+                split_part(obj, ' ', 1) AS ot, count(*) AS n
+         FROM t GROUP BY 1, 2, 3),
+maj AS (SELECT pred, st AS mst, ot AS mot FROM (
+          SELECT pred, st, ot, row_number() OVER (
+            PARTITION BY pred ORDER BY n DESC, st DESC, ot DESC) AS rn
+          FROM prof) WHERE rn = 1),
+card AS (SELECT pred,
+                (CAST(count(*) AS DOUBLE) / count(DISTINCT subj)) <= 1.5
+                  AS functional
+         FROM t GROUP BY pred),
+nobj AS (SELECT subj, pred, count(DISTINCT obj) AS n_obj
+         FROM t GROUP BY 1, 2)
+SELECT t.subj, t.pred, t.obj,
+       split_part(t.subj, ' ', 1) = maj.mst AS domain_ok,
+       split_part(t.obj, ' ', 1) = maj.mot AS range_ok,
+       (NOT card.functional) OR nobj.n_obj = 1 AS functional_ok
+FROM t JOIN maj USING (pred) JOIN card USING (pred)
+       JOIN nobj ON t.subj = nobj.subj AND t.pred = nobj.pred
 """,
         "turn_topic_shifts": _BASE_CTE + """
 , turns AS (SELECT conv_id, turn_idx,

@@ -162,6 +162,52 @@ def schema_induction(triples: DataFrame,
         "frac", F.col("n_edges") / F.sum("n_edges").over(w))
 
 
+def validate_triples(triples: DataFrame,
+                     functional_threshold: float = 1.5) -> DataFrame:
+    """SHACL-lite KG validation: per distinct triple, three flags —
+
+      * ``domain_ok`` / ``range_ok`` — the triple's (subj_type,
+        obj_type) matches its predicate's MAJORITY signature (from
+        :func:`schema_induction`; majority = max n_edges, ties by
+        greatest (subj_type, obj_type) — deterministic);
+      * ``functional_ok`` — true unless the predicate is functional
+        (tails-per-head ≤ ``functional_threshold``, see
+        :func:`relation_cardinality`) AND this subject asserts more
+        than one distinct object for it.
+
+    Output: (subj, pred, obj, domain_ok, range_ok, functional_ok).
+    All reference tables (majority signatures, cardinality profile) are
+    predicate-sized broadcasts; the one per-(subj, pred) distinct-obj
+    count is a hash agg on the edge table."""
+    t = triples.select("subj", "pred", "obj").distinct()
+    prof = schema_induction(t)
+    maj = (prof.groupBy("pred")
+           .agg(F.expr("max_by(struct(subj_type, obj_type), "
+                       "struct(n_edges, subj_type, obj_type))")
+                .alias("_m"))
+           .select("pred", F.col("_m.subj_type").alias("maj_subj_type"),
+                   F.col("_m.obj_type").alias("maj_obj_type")))
+    card = relation_cardinality(t).select(
+        "pred", (F.col("tph") <= functional_threshold).alias("_functional"))
+    n_obj = (t.groupBy("subj", "pred")
+             .agg(F.countDistinct("obj").alias("_n_obj")))
+    typed = t.select(
+        "subj", "pred", "obj",
+        F.substring_index(F.col("subj"), " ", 1).alias("_st"),
+        F.substring_index(F.col("obj"), " ", 1).alias("_ot"))
+    return (typed
+            .join(broadcast(maj), "pred")
+            .join(broadcast(card), "pred")
+            .join(n_obj, ["subj", "pred"])
+            .select("subj", "pred", "obj",
+                    (F.col("_st") == F.col("maj_subj_type"))
+                    .alias("domain_ok"),
+                    (F.col("_ot") == F.col("maj_obj_type"))
+                    .alias("range_ok"),
+                    (~F.col("_functional") | (F.col("_n_obj") == 1))
+                    .alias("functional_ok")))
+
+
 def export_ntriples(triples: DataFrame,
                     ent_ns: str = "urn:ent:",
                     rel_ns: str = "urn:rel:") -> DataFrame:
