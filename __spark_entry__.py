@@ -1132,6 +1132,25 @@ def _q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("obj").alias("dst")), n_iter=2)
 
 
+def _q_kg_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop BFS neighborhood of the KG's highest-degree hub node
+    (degree over the undirected simple graph; ties by greatest node —
+    deterministic): (node, dist ≤ 2)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from palladian_spark.graph import bfs_levels
+    t = _q_triples(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    e = t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    und = (e.where(F.col("src") != F.col("dst")).distinct()
+           .select("src", "dst"))
+    nbr = und.unionAll(und.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst"))).distinct()
+    seed = (nbr.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .agg(F.expr("max_by(node, struct(_d, node))").alias("node")))
+    return bfs_levels(e, seed, max_depth=2)
+
+
 def _q_kg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHACL-lite validation of the constructed KG: per-triple
     domain/range flags vs the induced majority signature + the
@@ -1476,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits": _q_kg_hits,
         "kg_communities": _q_kg_communities,
         "kg_validate": _q_kg_validate,
+        "kg_bfs": _q_kg_bfs,
         "turn_topic_shifts": _q_turn_topic_shifts,
         "entity_salience": _q_entity_salience,
         "kg_snapshot_diff": _q_kg_snapshot_diff,
@@ -2360,6 +2380,27 @@ SELECT f.subj, f.pred, f.obj, CAST(f.k AS INT) AS k, f.side,
 FROM flt f LEFT JOIN t ON f.neg_subj = t.subj AND f.pred = t.pred
                       AND f.neg_obj = t.obj
 WHERE t.subj IS NULL
+""",
+        "kg_bfs": _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
+        FROM base
+        UNION SELECT DISTINCT supp, 'located_in', nat FROM base),
+e AS (SELECT DISTINCT subj AS u, obj AS v FROM t WHERE subj <> obj),
+nbr AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+deg AS (SELECT u AS node, count(*) AS d FROM nbr GROUP BY u),
+seed AS (SELECT node FROM (
+           SELECT node, row_number() OVER (ORDER BY d DESC, node DESC)
+             AS rn FROM deg) WHERE rn = 1),
+d1 AS (SELECT DISTINCT nbr.v AS node
+       FROM nbr JOIN seed ON nbr.u = seed.node
+       WHERE nbr.v NOT IN (SELECT node FROM seed)),
+d2 AS (SELECT DISTINCT nbr.v AS node
+       FROM nbr JOIN d1 ON nbr.u = d1.node
+       WHERE nbr.v NOT IN (SELECT node FROM seed
+                           UNION SELECT node FROM d1))
+SELECT node, 0 AS dist FROM seed
+UNION ALL SELECT node, 1 FROM d1
+UNION ALL SELECT node, 2 FROM d2
 """,
         "kg_validate": _BASE_CTE + """
 , t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj

@@ -575,3 +575,35 @@ def label_propagation(edges: DataFrame, n_iter: int = 2,
         if checkpoint or checkpoint_dir is not None:
             labels = _lineage_cut(labels, checkpoint_dir, eager=False)
     return labels
+
+
+def bfs_levels(edges: DataFrame, seeds: DataFrame, max_depth: int = 2,
+               src_col: str = "src", dst_col: str = "dst",
+               cache: bool = True) -> DataFrame:
+    """Breadth-first distance labels from ``seeds`` over the UNDIRECTED
+    simple graph of ``edges``: (node, dist) for every node within
+    ``max_depth`` hops (dist 0 = the seeds themselves).  Classic
+    frontier expansion — each round is one join of the (cached)
+    symmetric neighbor list with the frontier + one anti-join against
+    the visited set; rounds = ``max_depth`` (a constant), so no
+    fixpoint driver loop.  Hub-skewed frontiers go to AQE."""
+    from pyspark.storagelevel import StorageLevel
+    e = (edges.select(F.col(src_col).alias("u"),
+                      F.col(dst_col).alias("v"))
+         .where(F.col("u") != F.col("v")).distinct())
+    nbr = e.unionAll(e.select(F.col("v").alias("u"),
+                              F.col("u").alias("v"))).distinct()
+    if cache:
+        nbr = nbr.persist(StorageLevel.MEMORY_AND_DISK)
+    frontier = seeds.select("node").distinct()
+    visited = frontier.withColumn("dist", F.lit(0))
+    for k in range(1, max_depth + 1):
+        nxt = (nbr.join(frontier.withColumnRenamed("node", "u"), "u")
+               .select(F.col("v").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti"))
+        visited = visited.unionByName(
+            nxt.withColumn("dist", F.lit(k)))
+        # cut lineage growth: the visited set is node-sized
+        visited = visited.localCheckpoint(eager=False) if cache else visited
+        frontier = nxt
+    return visited.select("node", F.col("dist").cast("int").alias("dist"))
