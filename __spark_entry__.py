@@ -1132,6 +1132,14 @@ def _q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("obj").alias("dst")), n_iter=2)
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: overlapping 64-token windows (stride 48)
+    over the documents table — one projection + one explode, shuffle-free."""
+    from palladian_spark.operators.chunking import chunk_documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, size=64, stride=48)
+
+
 def _q_kg_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hop BFS neighborhood of the KG's highest-degree hub node
     (degree over the undirected simple graph; ties by greatest node —
@@ -1496,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": _q_kg_communities,
         "kg_validate": _q_kg_validate,
         "kg_bfs": _q_kg_bfs,
+        "chunk_documents": _q_chunk_documents,
         "turn_topic_shifts": _q_turn_topic_shifts,
         "entity_salience": _q_entity_salience,
         "kg_snapshot_diff": _q_kg_snapshot_diff,
@@ -2380,6 +2389,21 @@ SELECT f.subj, f.pred, f.obj, CAST(f.k AS INT) AS k, f.side,
 FROM flt f LEFT JOIN t ON f.neg_subj = t.subj AND f.pred = t.pred
                       AND f.neg_obj = t.obj
 WHERE t.subj IS NULL
+""",
+        "chunk_documents": """
+WITH d AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+w AS (SELECT doc_id, toks,
+             greatest(CAST(ceil(len(toks) / 48.0) AS INT), 1) AS nw
+      FROM d)
+SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+       array_to_string(list_slice(toks, ci * 48 + 1, ci * 48 + 64), ' ')
+         AS chunk_text,
+       CAST(least(greatest(len(toks) - ci * 48, 0), 64) AS INT)
+         AS n_tokens
+FROM w, unnest(range(nw)) AS u(ci)
 """,
         "kg_bfs": _BASE_CTE + """
 , t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
