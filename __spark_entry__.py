@@ -1132,6 +1132,24 @@ def _q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("obj").alias("dst")), n_iter=2)
 
 
+def _q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded at the KG's highest-degree hub
+    (same deterministic seed as kg_bfs): proximity-to-hub ranking,
+    3 decimal-exact iterations replayed in the oracle."""
+    from pyspark.storagelevel import StorageLevel
+
+    from palladian_spark.graph import pagerank
+    t = _q_triples(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    e = t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    und = e.where(F.col("src") != F.col("dst")).distinct()
+    nbr = und.unionAll(und.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst"))).distinct()
+    seed = (nbr.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .agg(F.expr("max_by(node, struct(_d, node))").alias("node")))
+    return pagerank(e, n_iter=3, seeds=seed)
+
+
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data chunking: overlapping 64-token windows (stride 48)
     over the documents table — one projection + one explode, shuffle-free."""
@@ -1505,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_validate": _q_kg_validate,
         "kg_bfs": _q_kg_bfs,
         "chunk_documents": _q_chunk_documents,
+        "kg_ppr": _q_kg_ppr,
         "turn_topic_shifts": _q_turn_topic_shifts,
         "entity_salience": _q_entity_salience,
         "kg_snapshot_diff": _q_kg_snapshot_diff,
@@ -1983,6 +2002,51 @@ nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
 nn AS (SELECT CAST(count(*) AS DOUBLE) c FROM nodes),
 outw AS (SELECT src, CAST(sum(w) AS DOUBLE) d FROM e GROUP BY 1),
 r0 AS (SELECT node, 1.0 / nn.c AS r FROM nodes CROSS JOIN nn),
+""" + its + """
+SELECT node, round(r, 6) AS rank FROM i3
+"""
+
+
+_PPR_ITER = """
+{out} AS (
+  SELECT p.node, (1.0 - 0.85) * p.pv + 0.85 * COALESCE(s.con, 0.0) AS r
+  FROM p
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum(CAST({prev}.r / outd.d AS DECIMAL(38,18)))
+                AS DOUBLE) con
+    FROM e JOIN {prev} ON e.src = {prev}.node
+           JOIN outd ON e.src = outd.src
+    GROUP BY 1) s ON s.node = p.node
+)"""
+
+
+def _kg_ppr_oracle() -> str:
+    """Unrolled 3-iteration PERSONALIZED PageRank: restart vector = 1.0
+    on the deterministic hub seed (max undirected degree, ties by
+    greatest node — the kg_bfs seed), per-iteration restart
+    (1−d)·p(v); contribution sums replay decimal-exact like the
+    unseeded oracle."""
+    its = ",".join(
+        _PPR_ITER.format(out=f"i{k}", prev=("r0" if k == 1
+                                            else f"i{k - 1}"))
+        for k in (1, 2, 3))
+    return _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS s, supp AS o FROM base
+        UNION SELECT DISTINCT supp, nat FROM base),
+e AS (SELECT s AS src, o AS dst FROM t),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+outd AS (SELECT src, CAST(count(*) AS DOUBLE) d FROM e GROUP BY 1),
+und AS (SELECT src AS u, dst AS v FROM e WHERE src <> dst
+        UNION SELECT dst, src FROM e WHERE src <> dst),
+deg AS (SELECT u AS node, count(*) AS dg FROM und GROUP BY 1),
+seed AS (SELECT node FROM (
+           SELECT node, row_number() OVER (ORDER BY dg DESC, node DESC)
+             AS rn FROM deg) WHERE rn = 1),
+p AS (SELECT nodes.node,
+             CASE WHEN seed.node IS NOT NULL THEN 1.0 ELSE 0.0 END AS pv
+      FROM nodes LEFT JOIN seed ON nodes.node = seed.node),
+r0 AS (SELECT node, pv AS r FROM p),
 """ + its + """
 SELECT node, round(r, 6) AS rank FROM i3
 """
@@ -2874,6 +2938,7 @@ SELECT COALESCE(o.node, i.node) AS node,
 FROM o FULL JOIN i ON o.node = i.node
 """,
         "kg_pagerank": _kg_pagerank_oracle(),
+        "kg_ppr": _kg_ppr_oracle(),
         "kg_pagerank_weighted": _kg_pagerank_weighted_oracle(),
         "kg_link_prediction": _BASE_CTE + """
 , t AS (SELECT DISTINCT cust AS s, supp AS o FROM base),

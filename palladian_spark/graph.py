@@ -239,7 +239,8 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85,
              round_decimals: int | None = 6,
              checkpoint: bool = False,
              checkpoint_dir: str | None = None,
-             weight_col: str | None = None) -> DataFrame:
+             weight_col: str | None = None,
+             seeds: DataFrame | None = None) -> DataFrame:
     """PageRank over the DISTINCT directed edge set.
 
     rank_0 = 1/N; rank_{k+1}(v) = (1−d)/N + d · Σ_{u→v} rank_k(u)/out(u).
@@ -259,6 +260,13 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85,
     Weights are integral (evidence counts), so W_out sums are exact and
     the decimal-cast contribution sums keep every iteration
     order-independent, exactly as in the unweighted path.
+
+    ``seeds`` (a DataFrame with a ``node`` column) switches to
+    PERSONALIZED PageRank: the restart vector p puts 1/|S| on each seed
+    (0 elsewhere), rank_0 = p, and every iteration restarts to
+    (1−d)·p(v) instead of (1−d)/N — ranks become proximity to the seed
+    set.  The per-row base term is one IEEE multiply, so the
+    decimal-exact replay property is unchanged.
     """
     if weight_col is not None:
         e = (edges.select(F.col(src_col).alias("src"),
@@ -279,9 +287,24 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85,
     else:
         out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_d"))
         contrib_expr = F.col("rank") / F.col("out_d")
-    base = (1.0 - damping) / n
+    if seeds is not None:
+        sn = seeds.select("node").distinct()
+        n_seeds = sn.count()
+        if n_seeds == 0:
+            raise ValueError("personalized pagerank needs >= 1 seed")
+        base_t = (nodes.join(sn.withColumn("_is", F.lit(1)), "node", "left")
+                  .select("node", (F.coalesce("_is", F.lit(0))
+                                   / F.lit(n_seeds)).alias("_pv")))
+        ranks = base_t.select("node", F.col("_pv").alias("rank"))
+        # (1-d)·p(v): one multiply per row (replay-identical in SQL)
+        restart = F.lit(1.0 - damping) * F.col("_pv")
+    else:
+        # keep the historical single-division base: (1-d)/N multiplied
+        # out would round differently and break the replay oracles
+        base_t = nodes.withColumn("_pv", F.lit(1.0 / n))
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        restart = F.lit((1.0 - damping) / n)
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
         contrib = (e.join(ranks, e.src == ranks.node)
                    .join(out_deg, "src")
@@ -289,9 +312,9 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85,
                            contrib_expr.alias("_contrib")))
         summed = contrib.groupBy("node").agg(
             _exact_contrib_sum("_contrib").alias("_in"))
-        ranks = (nodes.join(summed, "node", "left")
+        ranks = (base_t.join(summed, "node", "left")
                  .select("node",
-                         (F.lit(base) + F.lit(damping)
+                         (restart + F.lit(damping)
                           * F.coalesce("_in", F.lit(0.0))).alias("rank")))
         if checkpoint or checkpoint_dir is not None:
             ranks = _lineage_cut(ranks, checkpoint_dir, eager=False)
