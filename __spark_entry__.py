@@ -1132,6 +1132,19 @@ def _q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("obj").alias("dst")), n_iter=2)
 
 
+def _q_tool_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool usage profile (the input schema's `tool` column).  The
+    derived transcripts carry NULL tool, so the query materializes a
+    deterministic tool assignment (turn_idx mod 3 → search/NULL/code)
+    that the oracle mirrors."""
+    from palladian_spark.operators.conv_analysis import tool_usage_stats
+    tr = _tpch_transcripts(spark, sf_dir).withColumn(
+        "tool",
+        F.when(F.col("turn_idx") % 3 == 0, F.lit("search"))
+         .when(F.col("turn_idx") % 3 == 2, F.lit("code")))
+    return tool_usage_stats(tr)
+
+
 def _q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank seeded at the KG's highest-degree hub
     (same deterministic seed as kg_bfs): proximity-to-hub ranking,
@@ -1524,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": _q_kg_bfs,
         "chunk_documents": _q_chunk_documents,
         "kg_ppr": _q_kg_ppr,
+        "tool_usage_stats": _q_tool_usage,
         "turn_topic_shifts": _q_turn_topic_shifts,
         "entity_salience": _q_entity_salience,
         "kg_snapshot_diff": _q_kg_snapshot_diff,
@@ -2453,6 +2467,17 @@ SELECT f.subj, f.pred, f.obj, CAST(f.k AS INT) AS k, f.side,
 FROM flt f LEFT JOIN t ON f.neg_subj = t.subj AND f.pred = t.pred
                       AND f.neg_obj = t.obj
 WHERE t.subj IS NULL
+""",
+        "tool_usage_stats": _BASE_CTE + """
+, tt AS (SELECT conv_id, turn_idx,
+                CASE WHEN turn_idx % 3 = 0 THEN 'search'
+                     WHEN turn_idx % 3 = 2 THEN 'code' END AS tool
+         FROM base)
+SELECT tool, count(*) AS n_calls,
+       count(DISTINCT conv_id) AS n_convs,
+       round(CAST(sum(CAST(turn_idx AS BIGINT)) AS DOUBLE) / count(*), 6)
+         AS mean_turn_idx
+FROM tt WHERE tool IS NOT NULL GROUP BY tool
 """,
         "chunk_documents": """
 WITH d AS (SELECT doc_id,

@@ -71,3 +71,17 @@ def entity_salience(observations: DataFrame) -> DataFrame:
                     F.round(F.col("n_mentions")
                             * F.log(F.col("_n") / F.col("df")), 6)
                     .alias("salience")))
+
+
+def tool_usage_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-tool usage profile over agent transcripts (the ``tool``
+    column of the input schema): (tool, n_calls, n_convs,
+    mean_turn_idx) for non-null tools — one hash agg, map-side
+    combinable.  mean_turn_idx is sum/count of exact longs (one IEEE
+    division), rounded to 6."""
+    t = transcripts.where(F.col("tool").isNotNull())
+    return (t.groupBy("tool")
+            .agg(F.count(F.lit(1)).alias("n_calls"),
+                 F.countDistinct("conv_id").alias("n_convs"),
+                 F.round(F.sum(F.col("turn_idx").cast("long"))
+                         / F.count(F.lit(1)), 6).alias("mean_turn_idx")))

@@ -45,3 +45,19 @@ def test_entity_salience_tfidf_shape(spark):
     e2c1 = rows[("c1", "e2")]
     assert e2c1["n_mentions"] == 2 and e2c1["df"] == 1
     assert abs(e2c1["salience"] - round(2 * math.log(2), 6)) < 1e-9
+
+
+def test_tool_usage_stats(spark):
+    from palladian_spark.operators.conv_analysis import tool_usage_stats
+    tr = spark.createDataFrame(
+        [("c1", 1, "u", "x", "search", None),
+         ("c1", 2, "a", "x", "code", None),
+         ("c2", 1, "u", "x", "search", None),
+         ("c2", 2, "a", "x", None, None)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp")
+    rows = {r["tool"]: r for r in tool_usage_stats(tr).collect()}
+    assert set(rows) == {"search", "code"}
+    s = rows["search"]
+    assert (s["n_calls"], s["n_convs"], s["mean_turn_idx"]) == (2, 2, 1.0)
+    assert rows["code"]["n_calls"] == 1
