@@ -1132,6 +1132,14 @@ def _q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("obj").alias("dst")), n_iter=2)
 
 
+def _q_conversation_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size (4-turn) extraction windows per conversation under
+    stable (conv_id, turn_idx) order — the north-rule turn-windowing
+    stage as a checked artifact."""
+    from palladian_spark.operators.conv_analysis import conversation_windows
+    return conversation_windows(_tpch_transcripts(spark, sf_dir), window=4)
+
+
 def _q_tool_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tool usage profile (the input schema's `tool` column).  The
     derived transcripts carry NULL tool, so the query materializes a
@@ -1538,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "kg_ppr": _q_kg_ppr,
         "tool_usage_stats": _q_tool_usage,
+        "conversation_windows": _q_conversation_windows,
         "turn_topic_shifts": _q_turn_topic_shifts,
         "entity_salience": _q_entity_salience,
         "kg_snapshot_diff": _q_kg_snapshot_diff,
@@ -2467,6 +2476,21 @@ SELECT f.subj, f.pred, f.obj, CAST(f.k AS INT) AS k, f.side,
 FROM flt f LEFT JOIN t ON f.neg_subj = t.subj AND f.pred = t.pred
                       AND f.neg_obj = t.obj
 WHERE t.subj IS NULL
+""",
+        "conversation_windows": _BASE_CTE + """
+, tt AS (SELECT conv_id, turn_idx,
+                min(cust || ' works for ' || supp || ' in ' || nat
+                    || '.') AS text
+         FROM base GROUP BY 1, 2),
+r AS (SELECT conv_id, turn_idx, text,
+             CAST((row_number() OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx) - 1) // 4
+                  AS INT) AS window_idx
+      FROM tt)
+SELECT conv_id, window_idx, count(*) AS n_turns,
+       min(turn_idx) AS first_turn, max(turn_idx) AS last_turn,
+       string_agg(text, ' ' ORDER BY turn_idx) AS window_text
+FROM r GROUP BY 1, 2
 """,
         "tool_usage_stats": _BASE_CTE + """
 , tt AS (SELECT conv_id, turn_idx,

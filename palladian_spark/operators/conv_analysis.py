@@ -85,3 +85,32 @@ def tool_usage_stats(transcripts: DataFrame) -> DataFrame:
                  F.countDistinct("conv_id").alias("n_convs"),
                  F.round(F.sum(F.col("turn_idx").cast("long"))
                          / F.count(F.lit(1)), 6).alias("mean_turn_idx")))
+
+
+def conversation_windows(transcripts: DataFrame,
+                         window: int = 4) -> DataFrame:
+    """Fixed-size turn windows per conversation under stable
+    (conv_id, turn_idx) order — the extraction unit of the windowed
+    pipeline stages: (conv_id, window_idx, n_turns, first_turn,
+    last_turn, window_text).  Turns are deduplicated to min(text) per
+    (conv, turn) first (the repo's deterministic turn-dedup pattern);
+    window_text concatenates the window's turns in turn order (sorted
+    struct collect — per-group, not per-row, so the lambda is off the
+    hot path).  One shuffle for the per-conversation rank + one hash
+    agg."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    turns = (transcripts.groupBy("conv_id", "turn_idx")
+             .agg(F.min("text").alias("text")))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ranked = turns.withColumn(
+        "window_idx",
+        F.floor((F.row_number().over(w) - 1) / window).cast("int"))
+    return (ranked.groupBy("conv_id", "window_idx")
+            .agg(F.count(F.lit(1)).alias("n_turns"),
+                 F.min("turn_idx").alias("first_turn"),
+                 F.max("turn_idx").alias("last_turn"),
+                 F.array_join(F.expr(
+                     "transform(array_sort(collect_list("
+                     "struct(turn_idx, text))), x -> x.text)"), " ")
+                 .alias("window_text")))

@@ -61,3 +61,20 @@ def test_tool_usage_stats(spark):
     s = rows["search"]
     assert (s["n_calls"], s["n_convs"], s["mean_turn_idx"]) == (2, 2, 1.0)
     assert rows["code"]["n_calls"] == 1
+
+
+def test_conversation_windows(spark):
+    from palladian_spark.operators.conv_analysis import conversation_windows
+    tr = spark.createDataFrame(
+        [("c1", t, "T%d" % t) for t in (1, 2, 3, 5, 9)]
+        + [("c1", 2, "ZZZ"),       # duplicate turn key: min(text) wins
+           ("c2", 7, "solo")],
+        ["conv_id", "turn_idx", "text"])
+    rows = {(r["conv_id"], r["window_idx"]): r
+            for r in conversation_windows(tr, window=2).collect()}
+    w0 = rows[("c1", 0)]
+    assert (w0["n_turns"], w0["first_turn"], w0["last_turn"],
+            w0["window_text"]) == (2, 1, 2, "T1 T2")
+    assert rows[("c1", 1)]["window_text"] == "T3 T5"
+    assert rows[("c1", 2)]["window_text"] == "T9"
+    assert rows[("c2", 0)]["window_text"] == "solo"
