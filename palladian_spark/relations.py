@@ -73,12 +73,19 @@ def compile_patterns(patterns: Sequence[PredicatePattern]):
     return [(p, regex.compile(p.window_regex)) for p in patterns]
 
 
+_MATCH_MISS = object()
+
+
 def triples_from_mentions(text: str, mentions: Sequence[ClassifiedAnnotation],
                           patterns: Sequence[PredicatePattern],
-                          masks=None, compiled=None) -> List[tuple]:
+                          masks=None, compiled=None,
+                          match_cache: Optional[dict] = None) -> List[tuple]:
     """Per-turn kernel: same-sentence ordered mention pairs × patterns.
     ``masks``/``compiled`` let the fused caller share the regex scans and
-    compiled patterns across the whole batch."""
+    compiled patterns across the whole batch; ``match_cache`` memoizes the
+    first-matching-pattern decision per (window, subj_tag, obj_tag) — the
+    inter-mention window vocabulary of a corpus is tiny, so nearly every
+    pair resolves by dict lookup instead of a regex fullmatch sweep."""
     if not mentions:
         return []
     if masks is None:
@@ -94,19 +101,29 @@ def triples_from_mentions(text: str, mentions: Sequence[ClassifiedAnnotation],
                 if obj.start < subj.end:
                     continue  # overlapping/nested — no window
                 window = text[subj.end:obj.start]
-                for p, rx in compiled:
-                    if p.subj_types and subj.tag not in p.subj_types:
-                        continue
-                    if p.obj_types and obj.tag not in p.obj_types:
-                        continue
-                    if rx.fullmatch(window):
-                        conf = min(
-                            subj.scores.get(subj.tag, 1.0) if subj.scores else 1.0,
-                            obj.scores.get(obj.tag, 1.0) if obj.scores else 1.0)
-                        out.append((subj.value, p.pred, obj.value,
-                                    subj.start, subj.end, obj.start, obj.end,
-                                    float(conf)))
-                        break
+                key = (window, subj.tag, obj.tag)
+                hit = (match_cache.get(key, _MATCH_MISS)
+                       if match_cache is not None else _MATCH_MISS)
+                if hit is _MATCH_MISS:
+                    hit = None
+                    for idx, (p, rx) in enumerate(compiled):
+                        if p.subj_types and subj.tag not in p.subj_types:
+                            continue
+                        if p.obj_types and obj.tag not in p.obj_types:
+                            continue
+                        if rx.fullmatch(window):
+                            hit = idx
+                            break
+                    if match_cache is not None and len(match_cache) < 1_000_000:
+                        match_cache[key] = hit
+                if hit is not None:
+                    p = compiled[hit][0]
+                    conf = min(
+                        subj.scores.get(subj.tag, 1.0) if subj.scores else 1.0,
+                        obj.scores.get(obj.tag, 1.0) if obj.scores else 1.0)
+                    out.append((subj.value, p.pred, obj.value,
+                                subj.start, subj.end, obj.start, obj.end,
+                                float(conf)))
     return out
 
 
@@ -128,6 +145,7 @@ def extract_triples(transcripts: DataFrame, model: NerModel,
     def run(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m = model_bc.value
         cache: dict = {}
+        window_cache: dict = {}
         compiled = compile_patterns(patterns)
         cols = ("conv_id", "turn_idx", "subj", "pred", "obj", "subj_start",
                 "subj_end", "obj_start", "obj_end", "conf")
@@ -147,7 +165,8 @@ def extract_triples(transcripts: DataFrame, model: NerModel,
                                            date_annotations=dates)
                 for row in triples_from_mentions(
                         text, mentions, patterns,
-                        masks=urls + dates + smileys, compiled=compiled):
+                        masks=urls + dates + smileys, compiled=compiled,
+                        match_cache=window_cache):
                     out["conv_id"].append(conv_id)
                     out["turn_idx"].append(turn_idx)
                     for k, v in zip(cols[2:], row):

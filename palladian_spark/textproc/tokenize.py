@@ -202,6 +202,17 @@ def sentences(text: str, mask_spans: List[Token] | None = None) -> List[Token]:
             s = start + left
             out.append(Token(s, text[s:s + len(trimmed)]))
 
+    # Fast path: every branch of the split pattern consumes a `.?!`
+    # terminator, so a text whose only terminator (if any) is its final
+    # character either matches exactly once at the very end or not at all —
+    # both produce the single trimmed sentence.  This skips the expensive
+    # variable-width-lookbehind scan for the dominant short-turn case.
+    n = len(masked)
+    if (masked.find(".", 0, n - 1) == -1 and masked.find("?", 0, n - 1) == -1
+            and masked.find("!", 0, n - 1) == -1):
+        _emit(0, n)
+        return out
+
     last = 0
     for m in _SENTENCE_PATTERN_EN.finditer(masked):
         _emit(last, m.end())
