@@ -1198,6 +1198,40 @@ def _q_kg_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_levels(e, seed, max_depth=2)
 
 
+def _q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the entity graph after exactly 3 peeling rounds:
+    (node, surviving degree) — the dense backbone a curation pass keeps
+    when pruning the long tail of weakly-connected entities."""
+    from pyspark.storagelevel import StorageLevel
+
+    from palladian_spark.graph import kcore
+    t = _q_triples(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    e = t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return kcore(e, k=3, rounds=3)
+
+
+def _q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk corpus over the directed entity graph:
+    one 2-step walk per non-sink node, next hop chosen by a portable
+    LCG mix (replayed exactly by the oracle) — the graph-embedding
+    training-data stage."""
+    from pyspark.storagelevel import StorageLevel
+
+    from palladian_spark.graph import random_walks
+    t = _q_triples(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    e = t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return random_walks(e, walk_len=2, seed=7)
+
+
+def _q_fact_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth-maintenance conflicts: pairs of different objects asserted
+    for the same (subj, pred) within 30 days of each other, with pair
+    counts and the smallest gap (kg_temporal.conflicting_observations)."""
+    from palladian_spark.operators.kg_temporal import conflicting_observations
+    return conflicting_observations(_kg_observations(spark, sf_dir),
+                                    window_seconds=86400 * 30)
+
+
 def _q_kg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHACL-lite validation of the constructed KG: per-triple
     domain/range flags vs the induced majority signature + the
@@ -1543,6 +1577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": _q_kg_communities,
         "kg_validate": _q_kg_validate,
         "kg_bfs": _q_kg_bfs,
+        "kg_kcore": _q_kg_kcore,
+        "kg_walks": _q_kg_walks,
+        "fact_conflicts": _q_fact_conflicts,
         "chunk_documents": _q_chunk_documents,
         "kg_ppr": _q_kg_ppr,
         "tool_usage_stats": _q_tool_usage,
@@ -2097,6 +2134,60 @@ SELECT node, round(r, 6) AS rank FROM i3
 """
 
 
+def _kg_kcore_oracle() -> str:
+    """Unrolled 3-round k=3 peeling over the analytic undirected edges —
+    exact because graph.kcore runs the same fixed round count."""
+    rounds = "".join(
+        f"""k{i} AS (SELECT u FROM u{i - 1} GROUP BY u HAVING count(*) >= 3),
+u{i} AS (SELECT u{i - 1}.u, u{i - 1}.v FROM u{i - 1}
+         JOIN k{i} a ON u{i - 1}.u = a.u
+         JOIN k{i} b ON u{i - 1}.v = b.u),
+"""
+        for i in (1, 2, 3))
+    return _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS subj, supp AS obj FROM base
+        UNION SELECT DISTINCT supp, nat FROM base),
+e AS (SELECT DISTINCT subj AS u, obj AS v FROM t WHERE subj <> obj),
+u0 AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+""" + rounds + """
+fin AS (SELECT u, v FROM u3)
+SELECT u AS node, CAST(count(*) AS BIGINT) AS degree FROM fin GROUP BY u
+"""
+
+
+def _kg_walks_oracle() -> str:
+    """Replays graph.random_walks exactly: same vocabulary row_numbers,
+    same rank-indexed adjacency, same portable LCG mix per step."""
+    step_cte = """w{i} AS (SELECT w.walk_id, a.d_id AS cur
+  FROM w{p} w JOIN deg d ON w.cur = d.s_id
+  JOIN adj a ON a.s_id = w.cur
+   AND a.rnk = ((w.cur * 1103515245 + {i} * 12345 + 7) % 2147483647) % d.deg),
+"""
+    steps = "".join(step_cte.format(i=i, p=i - 1) for i in (1, 2))
+    return _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS s, supp AS o FROM base
+        UNION SELECT DISTINCT supp, nat FROM base),
+e AS (SELECT DISTINCT s, o FROM t WHERE s <> o),
+nodes AS (SELECT s AS node FROM e UNION SELECT o FROM e),
+vocab AS (SELECT node,
+                 CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT) AS id
+          FROM nodes),
+adj AS (SELECT vs.id AS s_id, vd.id AS d_id,
+               CAST(row_number() OVER (PARTITION BY vs.id ORDER BY vd.id) - 1
+                    AS BIGINT) AS rnk
+        FROM e JOIN vocab vs ON e.s = vs.node
+               JOIN vocab vd ON e.o = vd.node),
+deg AS (SELECT s_id, count(*) AS deg FROM adj GROUP BY s_id),
+w0 AS (SELECT s_id AS walk_id, s_id AS cur FROM deg),
+""" + steps + """
+steps AS (SELECT walk_id, 0 AS step, cur FROM w0
+          UNION ALL SELECT walk_id, 1, cur FROM w1
+          UNION ALL SELECT walk_id, 2, cur FROM w2)
+SELECT s.walk_id, CAST(s.step AS INT) AS step, v.node
+FROM steps s JOIN vocab v ON s.cur = v.id
+"""
+
+
 def _scrub_pii_oracle() -> str:
     """Replays pii.scrub_pii byte-for-byte: the patterns are interpolated
     from the module constants (RE2 ∩ Java regex subset), counts taken on
@@ -2538,6 +2629,17 @@ d2 AS (SELECT DISTINCT nbr.v AS node
 SELECT node, 0 AS dist FROM seed
 UNION ALL SELECT node, 1 FROM d1
 UNION ALL SELECT node, 2 FROM d2
+""",
+        "kg_kcore": _kg_kcore_oracle(),
+        "kg_walks": _kg_walks_oracle(),
+        "fact_conflicts": _TS_BASE_CTE + """
+o2 AS (SELECT DISTINCT subj, pred, obj, ts FROM obs)
+SELECT a.subj, a.pred, a.obj AS obj_a, b.obj AS obj_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(abs(epoch(a.ts) - epoch(b.ts))) AS BIGINT) AS min_gap_s
+FROM o2 a JOIN o2 b ON a.subj = b.subj AND a.pred = b.pred
+WHERE a.obj < b.obj AND abs(epoch(a.ts) - epoch(b.ts)) <= 2592000
+GROUP BY 1, 2, 3, 4
 """,
         "kg_validate": _BASE_CTE + """
 , t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj

@@ -630,3 +630,110 @@ def bfs_levels(edges: DataFrame, seeds: DataFrame, max_depth: int = 2,
         visited = visited.localCheckpoint(eager=False) if cache else visited
         frontier = nxt
     return visited.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+def kcore(edges: DataFrame, k: int = 2, rounds: int = 4,
+          src_col: str = "src", dst_col: str = "dst",
+          cache: bool = True) -> DataFrame:
+    """k-core peeling over the UNDIRECTED simple graph of ``edges``:
+    repeatedly drop nodes whose surviving degree is < ``k``.  Returns
+    (node, degree) for the nodes alive after exactly ``rounds`` peels,
+    with their degree inside the surviving subgraph.
+
+    Runs a FIXED number of rounds rather than a fixpoint driver loop so
+    the result is replayable by an unrolled SQL oracle; real graphs peel
+    to fixpoint within a handful of rounds (each round removes the whole
+    current shell).  Each round is one hash-agg (degree) + two semi-joins
+    restricting the symmetric edge list — no collects, survives a
+    1000-executor scale-up; the symmetric edge list is cached because
+    every round re-reads it."""
+    from pyspark.storagelevel import StorageLevel
+    e = (edges.select(F.col(src_col).alias("u"),
+                      F.col(dst_col).alias("v"))
+         .where(F.col("u") != F.col("v")).distinct())
+    und = e.unionAll(e.select(F.col("v").alias("u"),
+                              F.col("u").alias("v"))).distinct()
+    if cache:
+        und = und.persist(StorageLevel.MEMORY_AND_DISK)
+    alive = und
+    for i in range(rounds):
+        deg = alive.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select("u")
+        alive = (alive
+                 .join(keep, "u")
+                 .join(keep.withColumnRenamed("u", "v"), "v")
+                 .select("u", "v"))
+        # node-bounded lineage cut — rounds compose joins otherwise
+        alive = alive.localCheckpoint(eager=False)
+    return (alive.groupBy(F.col("u").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("degree")))
+
+
+# portable LCG-style mixer shared by random_walks and its SQL oracle:
+# every operand stays within int64 (id, step, seed are all < 2^31).
+_WALK_MIX = "pmod({cur} * 1103515245 + {step} * 12345 + {seed}, 2147483647)"
+
+
+def random_walks(edges: DataFrame, walk_len: int = 3, seed: int = 7,
+                 src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Deterministic DeepWalk-style walk corpus over the directed graph:
+    one walk per node with outgoing edges, advanced ``walk_len`` steps.
+    Output: (walk_id, step, node) — walk_id = the start node's vocabulary
+    id, step 0..walk_len; walks stop early at sinks.
+
+    The 'random' choice is a portable LCG mix of (current node id, step,
+    seed) modulo out-degree, so a SQL oracle replays the walks exactly —
+    and reruns are reproducible across cluster sizes, which is what a
+    training-data pipeline needs from its augmentation stages.
+
+    Shape per step: broadcast-join the frontier with the (vocab-sized)
+    degree table to compute the chosen rank, then ONE equi-join against
+    the rank-indexed adjacency — no neighbor fan-out.  The vocabulary /
+    adjacency ranks come from window row_numbers over vocab-sized inputs
+    (same documented trade-off as encode_triples)."""
+    e = (edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+         .where(F.col("s") != F.col("d")).distinct())
+    nodes = (e.select(F.col("s").alias("node"))
+             .unionAll(e.select(F.col("d").alias("node"))).distinct())
+    vocab = nodes.withColumn(
+        "id", (F.row_number().over(Window.orderBy("node")) - 1)
+        .cast("long"))
+    adj = (e
+           .join(vocab.withColumnRenamed("node", "s")
+                 .withColumnRenamed("id", "s_id"), "s")
+           .join(vocab.withColumnRenamed("node", "d")
+                 .withColumnRenamed("id", "d_id"), "d")
+           .withColumn("rank", (F.row_number().over(
+               Window.partitionBy("s_id").orderBy("d_id")) - 1)
+               .cast("long"))
+           .select("s_id", "d_id", "rank"))
+    deg = adj.groupBy("s_id").agg(F.count(F.lit(1)).alias("deg"))
+    adj = adj.persist()
+    deg = deg.persist()
+
+    starts = deg.select(F.col("s_id").alias("walk_id"),
+                        F.col("s_id").alias("cur"))
+    out = starts.select("walk_id", F.lit(0).alias("step"),
+                        F.col("cur").alias("node_id"))
+    frontier = starts
+    for step in range(1, walk_len + 1):
+        mix = _WALK_MIX.format(cur="cur", step=step, seed=seed)
+        chosen = (frontier
+                  .join(F.broadcast(deg),
+                        frontier.cur == F.col("s_id"))
+                  .withColumn("pick", F.expr(mix) % F.col("deg"))
+                  .select("walk_id", F.col("s_id").alias("_from"),
+                          "pick"))
+        nxt = (chosen
+               .join(adj, (F.col("_from") == adj.s_id)
+                     & (F.col("pick") == adj.rank))
+               .select("walk_id", F.col("d_id").alias("cur")))
+        out = out.unionByName(
+            nxt.select("walk_id", F.lit(step).alias("step"),
+                       F.col("cur").alias("node_id")))
+        frontier = nxt
+    return (out
+            .join(F.broadcast(vocab.withColumnRenamed("id", "node_id")),
+                  "node_id")
+            .select("walk_id", F.col("step").cast("int").alias("step"),
+                    "node"))

@@ -71,3 +71,34 @@ def entity_timeline(observations: DataFrame) -> DataFrame:
         F.max("ts").alias("last_seen"),
         F.sum("is_subj").cast("long").alias("n_as_subj"),
         F.sum(1 - F.col("is_subj")).cast("long").alias("n_as_obj"))
+
+
+def conflicting_observations(observations: DataFrame,
+                             window_seconds: int = 86400 * 30) -> DataFrame:
+    """Truth-maintenance signal: pairs of DIFFERENT objects asserted for
+    the same (subj, pred) within ``window_seconds`` of each other —
+    the simultaneous-disagreement cases SCD2 versioning (fact_transitions)
+    deliberately linearizes away.  Output per conflicting object pair
+    (obj_a < obj_b lexically): the number of observation pairs inside the
+    window and the smallest gap seen.
+
+    Shape: the observation stream is first collapsed to distinct
+    (subj, pred, obj, ts) — vocabulary-sized per fact — then self-joined
+    on (subj, pred) with the object inequality and the time-window
+    predicate.  Per-key cost is quadratic in that fact's distinct
+    evidence, the same skew profile the evidence aggregations tolerate;
+    AQE handles hot facts."""
+    obs = (observations
+           .select("subj", "pred", "obj", "ts")
+           .distinct())
+    a = obs.select("subj", "pred", F.col("obj").alias("obj_a"),
+                   F.col("ts").alias("ts_a"))
+    b = obs.select("subj", "pred", F.col("obj").alias("obj_b"),
+                   F.col("ts").alias("ts_b"))
+    gap = F.abs(F.unix_timestamp("ts_a") - F.unix_timestamp("ts_b"))
+    return (a.join(b, ["subj", "pred"])
+            .where((F.col("obj_a") < F.col("obj_b"))
+                   & (gap <= F.lit(int(window_seconds))))
+            .groupBy("subj", "pred", "obj_a", "obj_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.min(gap).cast("long").alias("min_gap_s")))

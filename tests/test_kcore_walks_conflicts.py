@@ -1,0 +1,86 @@
+"""Structural tests for kcore, random_walks and conflicting_observations."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from palladian_spark.graph import kcore, random_walks
+from palladian_spark.operators.kg_temporal import conflicting_observations
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+def test_kcore_peels_pendants_keeps_triangle(spark):
+    # triangle a-b-c plus pendant chain c-d-e: 2-core = the triangle
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"),
+                       ("c", "d"), ("d", "e")])
+    got = {r["node"]: r["degree"] for r in kcore(e, k=2, rounds=3).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_fixed_rounds_partial_peel(spark):
+    # a long chain needs one round per endpoint pair; rounds=1 only
+    # removes the outermost shell — deterministic intermediate state
+    chain = [("n%d" % i, "n%d" % (i + 1)) for i in range(5)]
+    got1 = {r["node"] for r in kcore(_edges(spark, chain),
+                                     k=2, rounds=1).collect()}
+    assert got1 == {"n1", "n2", "n3", "n4"}
+    gotall = kcore(_edges(spark, chain), k=2, rounds=3).collect()
+    assert gotall == []  # chain has no 2-core
+
+
+def test_random_walks_deterministic_and_edge_valid(spark):
+    pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d")]
+    e = _edges(spark, pairs)
+    w1 = sorted(map(tuple, random_walks(e, walk_len=3, seed=5).collect()))
+    w2 = sorted(map(tuple, random_walks(e, walk_len=3, seed=5).collect()))
+    assert w1 == w2 and w1
+    # different seed must change at least one choice on this graph
+    w3 = sorted(map(tuple, random_walks(e, walk_len=3, seed=6).collect()))
+    assert w3 != w1
+    # every consecutive step must traverse a real edge
+    edge_set = set(pairs)
+    by_walk = {}
+    for walk_id, step, node in w1:
+        by_walk.setdefault(walk_id, {})[step] = node
+    for steps in by_walk.values():
+        assert 0 in steps
+        for s in range(1, max(steps) + 1):
+            if s in steps:
+                assert (steps[s - 1], steps[s]) in edge_set
+
+
+def test_random_walks_stop_at_sinks(spark):
+    # b is a sink: walks reaching b stop early instead of emitting nulls
+    e = _edges(spark, [("a", "b")])
+    rows = sorted(map(tuple, random_walks(e, walk_len=4, seed=1).collect()))
+    # one walk (from a), two rows: a at step 0, b at step 1
+    assert rows == [(0, 0, "a"), (0, 1, "b")]
+
+
+def test_conflicting_observations_window_and_counts(spark):
+    d = datetime.datetime
+    obs = spark.createDataFrame(
+        [("s1", "p", "x", d(2024, 1, 1), "c1", 1),
+         ("s1", "p", "y", d(2024, 1, 5), "c1", 2),    # 4 days from x -> in
+         ("s1", "p", "z", d(2024, 3, 1), "c2", 1),    # far from both -> out
+         ("s2", "p", "x", d(2024, 1, 1), "c3", 1)],   # lone object, no pair
+        ["subj", "pred", "obj", "ts", "conv_id", "turn_idx"])
+    got = conflicting_observations(obs, window_seconds=86400 * 30).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["subj"], r["obj_a"], r["obj_b"]) == ("s1", "x", "y")
+    assert r["n_pairs"] == 1 and r["min_gap_s"] == 4 * 86400
+
+
+def test_conflicting_observations_dedups_evidence(spark):
+    d = datetime.datetime
+    # the same (obj, ts) observed from many turns counts once
+    obs = spark.createDataFrame(
+        [("s", "p", "x", d(2024, 1, 1), "c1", i) for i in range(5)]
+        + [("s", "p", "y", d(2024, 1, 2), "c9", 1)],
+        ["subj", "pred", "obj", "ts", "conv_id", "turn_idx"])
+    got = conflicting_observations(obs, window_seconds=86400 * 30).collect()
+    assert len(got) == 1 and got[0]["n_pairs"] == 1
