@@ -60,12 +60,11 @@ def _tpch_model(spark: SparkSession, sf_dir: str):
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline (NER chain → linking → relation patterns →
     canonical triples) over sf0.001-derived transcripts."""
-    from palladian_spark.relations import extract_triples, canonicalize_triples
+    from palladian_spark.relations import extract_canonical_triples
     transcripts = _tpch_transcripts(spark, SF_DEFAULT)
     model = _tpch_model(spark, SF_DEFAULT)
     entity_dict = _tpch_entity_dict(spark, SF_DEFAULT)
-    raw = extract_triples(transcripts, model)
-    return (canonicalize_triples(raw, entity_dict)
+    return (extract_canonical_triples(transcripts, model, entity_dict)
             .select("conv_id", "turn_idx", "subj", "pred", "obj"))
 
 
@@ -84,12 +83,15 @@ def _q_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full pipeline → (subj, pred, obj) (SURVEY.md §2.5 + §2.7)."""
-    from palladian_spark.relations import extract_triples, canonicalize_triples
+    """Full pipeline → (subj, pred, obj) (SURVEY.md §2.5 + §2.7).
+    Fused single-pass path: NER + patterns + broadcast-dict linking in
+    one Arrow stage (relations.extract_canonical_triples; equivalence
+    vs the staged pair is pinned by tests/test_fused_canonicalize.py)."""
+    from palladian_spark.relations import extract_canonical_triples
     transcripts = _tpch_transcripts(spark, sf_dir)
     model = _tpch_model(spark, sf_dir)
-    raw = extract_triples(transcripts, model)
-    return (canonicalize_triples(raw, _tpch_entity_dict(spark, sf_dir))
+    return (extract_canonical_triples(transcripts, model,
+                                      _tpch_entity_dict(spark, sf_dir))
             .select("conv_id", "turn_idx", "subj", "pred", "obj"))
 
 
@@ -1223,6 +1225,18 @@ def _q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(e, walk_len=2, seed=7)
 
 
+def _q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec training pairs: skip-gram (center, context) counts within
+    a ±2-step window over the deterministic walk corpus of kg_walks."""
+    from pyspark.storagelevel import StorageLevel
+
+    from palladian_spark.graph import random_walks
+    from palladian_spark.operators.kg_training import walk_skipgrams
+    t = _q_triples(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    e = t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return walk_skipgrams(random_walks(e, walk_len=2, seed=7), window=2)
+
+
 def _q_fact_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truth-maintenance conflicts: pairs of different objects asserted
     for the same (subj, pred) within 30 days of each other, with pair
@@ -1562,9 +1576,13 @@ def _q_word_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Never-driver-verified entries lead, in case the driver caps its
-        # per-round sweep: the two ANN queries have full SQL-replay
-        # oracles since round 3 but no green driver row yet, and the rest
-        # of this block was absent from the round-3 sample.
+        # per-round sweep: newest queries first, then the block that was
+        # absent from the round-3 sample (incl. the two ANN queries with
+        # full SQL-replay oracles since round 3 but no green driver row).
+        "kg_kcore": _q_kg_kcore,
+        "kg_walks": _q_kg_walks,
+        "walk_skipgrams": _q_walk_skipgrams,
+        "fact_conflicts": _q_fact_conflicts,
         "kg_negative_samples": _q_kg_negative_samples,
         "kg_entity_split": _q_kg_entity_split,
         "kg_infer_triples": _q_kg_infer_triples,
@@ -1577,9 +1595,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": _q_kg_communities,
         "kg_validate": _q_kg_validate,
         "kg_bfs": _q_kg_bfs,
-        "kg_kcore": _q_kg_kcore,
-        "kg_walks": _q_kg_walks,
-        "fact_conflicts": _q_fact_conflicts,
         "chunk_documents": _q_chunk_documents,
         "kg_ppr": _q_kg_ppr,
         "tool_usage_stats": _q_tool_usage,
@@ -2632,6 +2647,14 @@ UNION ALL SELECT node, 2 FROM d2
 """,
         "kg_kcore": _kg_kcore_oracle(),
         "kg_walks": _kg_walks_oracle(),
+        "walk_skipgrams": """
+WITH w AS (SELECT * FROM (""" + _kg_walks_oracle() + """) walks)
+SELECT a.node AS center, b.node AS context,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM w a JOIN w b ON a.walk_id = b.walk_id
+WHERE a.step <> b.step AND abs(a.step - b.step) <= 2
+GROUP BY 1, 2
+""",
         "fact_conflicts": _TS_BASE_CTE + """
 o2 AS (SELECT DISTINCT subj, pred, obj, ts FROM obs)
 SELECT a.subj, a.pred, a.obj AS obj_a, b.obj AS obj_b,

@@ -104,8 +104,10 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # NER kernel as their input because contract queries are
     # self-contained by design; see NOTES.md)
     from pyspark.sql import functions as F
-    from palladian_spark.graph import (hits, kg_degrees, kg_snapshot_diff,
-                                       kg_triangles, pagerank)
+    from palladian_spark.graph import (hits, kcore, kg_degrees,
+                                       kg_snapshot_diff, kg_triangles,
+                                       pagerank, random_walks)
+    from palladian_spark.operators.kg_training import walk_skipgrams
     t0 = time.time()
     triples = queries["kg_triples"](spark, sf_dir).cache()
     triples.count()
@@ -133,6 +135,13 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
                            F.col("obj").alias("dst")), n_iter=2)),
         ("kg_snapshot_diff", lambda: kg_snapshot_diff(
             triples.where(F.col("turn_idx") <= 3), triples)),
+        ("kg_kcore", lambda: kcore(
+            triples.select(F.col("subj").alias("src"),
+                           F.col("obj").alias("dst")), k=3, rounds=3)),
+        ("kg_walks_skipgrams", lambda: walk_skipgrams(random_walks(
+            triples.select(F.col("subj").alias("src"),
+                           F.col("obj").alias("dst")),
+            walk_len=2, seed=7), window=2)),
     ]:
         best = None
         for _ in range(2):

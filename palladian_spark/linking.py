@@ -39,6 +39,64 @@ def normalize_surface(col):
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
 
 
+# Python twin of normalize_surface for the fused in-kernel linker: Java's
+# \s is exactly [ \t\n\x0B\f\r] (no UNICODE_CHARACTER_CLASS), Spark trim
+# strips ASCII spaces — both mirrored here (equivalence-tested in
+# tests/test_fused_canonicalize.py).
+import re as _re
+
+_JAVA_WS = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def normalize_surface_py(value: str) -> str:
+    return _JAVA_WS.sub(" ", value).strip(" ").lower()
+
+
+_LINK_MISS = object()
+
+
+def make_surface_linker(norm_map, entries, metric: str, threshold: float,
+                        min_link_sim: Optional[float] = None):
+    """Per-worker memoized ``link(value) -> canonical-or-None`` with the
+    EXACT semantics of the staged mapping (canonicalize_triples): exact
+    hit on the normalized key (link_sim 1.0) first, else the blocked
+    fuzzy argmax over ``entries`` in dictionary order (ties → last
+    maximal entry, same as fuzzy_link_df), then the ``min_link_sim``
+    bar.  ``norm_map`` is {normalized key: min(surface)} and must be
+    computed by the SAME normalization as the staged path (the callers
+    build it with the Spark normalize_surface column so dictionary-side
+    normalization is literally shared)."""
+    sim_fn = METRICS[metric] if entries else None
+    frac = _bound_frac(metric, threshold) if entries else None
+    index = _BlockedDict(entries, metric) if (entries and frac is not None) \
+        else None
+    memo: dict = {}
+
+    def link(value: str):
+        hit = memo.get(value, _LINK_MISS)
+        if hit is not _LINK_MISS:
+            return hit
+        canon, sim = norm_map.get(normalize_surface_py(value)), 1.0
+        if canon is None and entries:
+            best, best_sim = None, threshold
+            cand = ((entries[i] for i in index.candidates(value, frac))
+                    if index is not None else iter(entries))
+            for _eid, surface, _concept in cand:
+                s = sim_fn(value, surface)
+                if s >= best_sim:
+                    best, best_sim = surface, s
+            if best is not None:
+                canon, sim = best, best_sim
+        if canon is not None and min_link_sim is not None \
+                and sim < min_link_sim:
+            canon = None
+        if len(memo) < 500_000:
+            memo[value] = canon
+        return canon
+
+    return link
+
+
 # ---------------------------------------------------------------------------
 # blocked candidate generation for the fuzzy pass
 #

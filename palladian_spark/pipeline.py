@@ -26,7 +26,9 @@ from palladian_spark.data.transcripts import entity_dictionary_pdf
 from palladian_spark.ner.model import NerModel
 from palladian_spark.ner.train import build_annotation_dictionary, build_entity_dictionary
 from palladian_spark.operators.mentions import repartition_salted
-from palladian_spark.relations import DEFAULT_PATTERNS, canonicalize_triples, extract_triples
+from palladian_spark.relations import (
+    DEFAULT_PATTERNS, extract_canonical_triples,
+)
 from palladian_spark.textproc.taggers import Annotation
 
 
@@ -79,12 +81,15 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
 
     def compute(df: DataFrame,
                 cache_handles: Optional[list] = None) -> DataFrame:
+        # fused single-pass extraction+linking (the broadcastable-dict
+        # default; extract_canonical_triples docstring has the trade-off
+        # vs the staged mapping-first shape, which canonicalize_triples
+        # keeps for huge alias dictionaries)
         staged = repartition_salted(df, partitions) if partitions else df
-        raw = extract_triples(staged, model, patterns)
-        return canonicalize_triples(raw, entity_dict,
-                                    cache_handles=cache_handles,
-                                    min_link_sim=min_link_sim,
-                                    drop_unlinked=drop_unlinked)
+        return extract_canonical_triples(staged, model, entity_dict,
+                                         patterns=patterns,
+                                         min_link_sim=min_link_sim,
+                                         drop_unlinked=drop_unlinked)
 
     if output_dir is None:
         return PipelineResult(compute(transcripts), None, 0, time.time() - t0)
