@@ -55,7 +55,7 @@ def run_incremental_pipeline(spark: SparkSession, input_dir: str,
     in ``input_dir`` and stops — rerunning later processes ONLY new files
     (checkpoint-resume for ingestion)."""
     from palladian_spark.relations import (
-        DEFAULT_PATTERNS, canonicalize_triples, extract_triples)
+        DEFAULT_PATTERNS, extract_canonical_triples)
     patterns = tuple(patterns) if patterns is not None else tuple(DEFAULT_PATTERNS)
 
     triples_dir = f"{output_dir}/triples"
@@ -63,10 +63,12 @@ def run_incremental_pipeline(spark: SparkSession, input_dir: str,
     checkpoint_dir = f"{output_dir}/_checkpoint"
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        raw = extract_triples(batch_df, model, patterns)
-        handles: list = []
-        triples = canonicalize_triples(raw, entity_dict,
-                                       cache_handles=handles)
+        # fused extraction+linking (one Arrow stage, no per-batch mapping
+        # jobs or stream persists — the micro-batch latency win is larger
+        # than in batch mode; equivalence pinned by
+        # tests/test_fused_canonicalize.py)
+        triples = extract_canonical_triples(batch_df, model, entity_dict,
+                                            patterns=patterns)
         triples = triples.persist()
         n = triples.count()
         # idempotent sink: each micro-batch OVERWRITES its own partition
@@ -88,8 +90,6 @@ def run_incremental_pipeline(spark: SparkSession, input_dir: str,
         lineage.write.mode("overwrite").parquet(
             f"{lineage_dir}/batch={int(batch_id)}")
         triples.unpersist()
-        for h in handles:  # inner stage caches — don't leak across batches
-            h.unpersist()
 
     stream = stream_transcripts(spark, input_dir)
     writer = (stream.writeStream
