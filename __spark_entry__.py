@@ -1237,6 +1237,13 @@ def _q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walk_skipgrams(random_walks(e, walk_len=2, seed=7), window=2)
 
 
+def _q_conv_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation KG subgraph profile: distinct nodes/edges and
+    density — the entity-density curation signal (graph.conv_graph_stats)."""
+    from palladian_spark.graph import conv_graph_stats
+    return conv_graph_stats(_q_triples(spark, sf_dir))
+
+
 def _q_fact_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truth-maintenance conflicts: pairs of different objects asserted
     for the same (subj, pred) within 30 days of each other, with pair
@@ -1583,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_walks": _q_kg_walks,
         "walk_skipgrams": _q_walk_skipgrams,
         "fact_conflicts": _q_fact_conflicts,
+        "conv_graph_stats": _q_conv_graph_stats,
         "kg_negative_samples": _q_kg_negative_samples,
         "kg_entity_split": _q_kg_entity_split,
         "kg_infer_triples": _q_kg_infer_triples,
@@ -2647,6 +2655,20 @@ UNION ALL SELECT node, 2 FROM d2
 """,
         "kg_kcore": _kg_kcore_oracle(),
         "kg_walks": _kg_walks_oracle(),
+        "conv_graph_stats": _BASE_CTE + """
+, t AS (SELECT DISTINCT conv_id, cust AS subj, supp AS obj FROM base
+        UNION SELECT DISTINCT conv_id, supp, nat FROM base),
+n AS (SELECT conv_id, CAST(count(DISTINCT node) AS BIGINT) AS n_nodes
+      FROM (SELECT conv_id, subj AS node FROM t
+            UNION SELECT conv_id, obj FROM t)
+      GROUP BY conv_id),
+e AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_edges FROM t
+      GROUP BY conv_id)
+SELECT conv_id, n_nodes, n_edges,
+       round(CAST(n_edges AS DOUBLE) / (n_nodes * (n_nodes - 1)), 6)
+         AS density
+FROM n JOIN e USING (conv_id)
+""",
         "walk_skipgrams": """
 WITH w AS (SELECT * FROM (""" + _kg_walks_oracle() + """) walks)
 SELECT a.node AS center, b.node AS context,

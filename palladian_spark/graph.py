@@ -737,3 +737,26 @@ def random_walks(edges: DataFrame, walk_len: int = 3, seed: int = 7,
                   "node_id")
             .select("walk_id", F.col("step").cast("int").alias("step"),
                     "node"))
+
+
+def conv_graph_stats(triples: DataFrame) -> DataFrame:
+    """Per-conversation KG subgraph profile: distinct node count,
+    distinct directed edge count, and graph density
+    n_edges / (n_nodes·(n_nodes−1)) (null for single-node graphs) —
+    the conversation-level signal curation uses to find entity-dense
+    vs entity-sparse dialogues.  Two hash aggs + one join, all keyed
+    on conv_id (map-side combinable; hot conversations are the same
+    skew the extraction stage already salts)."""
+    e = triples.select("conv_id", "subj", "obj").distinct()
+    nodes = (e.select("conv_id",
+                      F.explode(F.array("subj", "obj")).alias("node"))
+             .distinct())
+    nstats = nodes.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    estats = e.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (nstats.join(estats, "conv_id")
+            .withColumn(
+                "density",
+                F.round(F.col("n_edges")
+                        / (F.col("n_nodes") * (F.col("n_nodes") - 1)), 6)))

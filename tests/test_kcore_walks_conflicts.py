@@ -84,3 +84,35 @@ def test_conflicting_observations_dedups_evidence(spark):
         ["subj", "pred", "obj", "ts", "conv_id", "turn_idx"])
     got = conflicting_observations(obs, window_seconds=86400 * 30).collect()
     assert len(got) == 1 and got[0]["n_pairs"] == 1
+
+
+def test_walk_skipgrams_window_and_weights(spark):
+    from palladian_spark.operators.kg_training import walk_skipgrams
+    walks = spark.createDataFrame(
+        [(0, 0, "a"), (0, 1, "b"), (0, 2, "c"), (0, 3, "d"),
+         (1, 0, "a"), (1, 1, "b")],
+        ["walk_id", "step", "node"])
+    got = {(r["center"], r["context"]): r["n_pairs"]
+           for r in walk_skipgrams(walks, window=1).collect()}
+    # adjacent pairs only; (a,b) occurs in both walks
+    assert got[("a", "b")] == 2 and got[("b", "a")] == 2
+    assert got[("b", "c")] == 1 and got[("c", "d")] == 1
+    assert ("a", "c") not in got  # outside window=1
+    wide = {(r["center"], r["context"]): r["n_pairs"]
+            for r in walk_skipgrams(walks, window=2).collect()}
+    assert wide[("a", "c")] == 1 and wide[("b", "d")] == 1
+    assert ("a", "d") not in wide
+
+
+def test_conv_graph_stats_counts_and_density(spark):
+    from palladian_spark.graph import conv_graph_stats
+    triples = spark.createDataFrame(
+        [("c1", 1, "a", "p", "b"), ("c1", 2, "a", "p", "b"),  # dup edge
+         ("c1", 3, "b", "p", "c"),
+         ("c2", 1, "x", "q", "y")],
+        ["conv_id", "turn_idx", "subj", "pred", "obj"])
+    got = {r["conv_id"]: r for r in conv_graph_stats(triples).collect()}
+    assert got["c1"]["n_nodes"] == 3 and got["c1"]["n_edges"] == 2
+    assert abs(got["c1"]["density"] - round(2 / 6, 6)) < 1e-9
+    assert got["c2"]["n_nodes"] == 2 and got["c2"]["n_edges"] == 1
+    assert abs(got["c2"]["density"] - 0.5) < 1e-9
