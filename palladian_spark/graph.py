@@ -397,7 +397,9 @@ def connected_components_star(pairs: DataFrame, src_col: str = "a_id",
     sig = _edge_sig(e)
     for _ in range(max_iter):
         e = small_star(large_star(e))
-        e = _lineage_cut(e, checkpoint_dir, eager=True)
+        # lazy cut: the signature action below materializes it — one job
+        # per round (same rationale as connected_components)
+        e = _lineage_cut(e, checkpoint_dir, eager=False)
         rounds += 1
         new_sig = _edge_sig(e)
         if new_sig == sig:
@@ -443,7 +445,11 @@ def connected_components(pairs: DataFrame, src_col: str = "a_id",
                 .select(F.col("u").alias("node"), "label"))
         new = (labels.select("node", "label").union(prop)
                .groupBy("node").agg(F.min("label").alias("label")))
-        new = _lineage_cut(new, checkpoint_dir, eager=True)
+        # lazy lineage cut: the changed-count action below materializes
+        # the checkpoint as a side effect — ONE job per round instead of
+        # the former eager-checkpoint + count pair (halves the fixed
+        # per-round scheduling cost that dominates on small graphs)
+        new = _lineage_cut(new, checkpoint_dir, eager=False)
         changed = (new.alias("n")
                    .join(labels.alias("o"), "node")
                    .where(F.col("n.label") != F.col("o.label")).count())
