@@ -1225,6 +1225,19 @@ def _q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(e, walk_len=2, seed=7)
 
 
+def _q_kg_walks_biased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec second-order walk corpus (p=2, q=2: both return and
+    out-hop discouraged 2×) over the directed entity graph — exact
+    integer weights, every step replayed by the oracle."""
+    from pyspark.storagelevel import StorageLevel
+
+    from palladian_spark.graph import biased_random_walks
+    t = _q_triples(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    e = t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return biased_random_walks(e, walk_len=2, seed=7,
+                               p_num=2, p_den=1, q_num=2, q_den=1)
+
+
 def _q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """node2vec training pairs: skip-gram (center, context) counts within
     a ±2-step window over the deterministic walk corpus of kg_walks."""
@@ -1589,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": _q_kg_kcore,
         "kg_walks": _q_kg_walks,
         "walk_skipgrams": _q_walk_skipgrams,
+        "kg_walks_biased": _q_kg_walks_biased,
         "fact_conflicts": _q_fact_conflicts,
         "conv_graph_stats": _q_conv_graph_stats,
         "kg_negative_samples": _q_kg_negative_samples,
@@ -2211,6 +2225,54 @@ FROM steps s JOIN vocab v ON s.cur = v.id
 """
 
 
+def _kg_walks_biased_oracle() -> str:
+    """Replays graph.biased_random_walks (p=2/1, q=2/1 → integer weights
+    return 2 / common 4 / other 2): step 1 is the uniform first-order
+    choice, step 2 the cumulative-weight pick over the candidate fan-out
+    with the same LCG mix."""
+    return _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS s, supp AS o FROM base
+        UNION SELECT DISTINCT supp, nat FROM base),
+e AS (SELECT DISTINCT s, o FROM t WHERE s <> o),
+nodes AS (SELECT s AS node FROM e UNION SELECT o FROM e),
+vocab AS (SELECT node,
+                 CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT) AS id
+          FROM nodes),
+adj AS (SELECT vs.id AS s_id, vd.id AS d_id,
+               CAST(row_number() OVER (PARTITION BY vs.id ORDER BY vd.id) - 1
+                    AS BIGINT) AS rnk
+        FROM e JOIN vocab vs ON e.s = vs.node
+               JOIN vocab vd ON e.o = vd.node),
+deg AS (SELECT s_id, count(*) AS deg FROM adj GROUP BY s_id),
+w0 AS (SELECT s_id AS walk_id, s_id AS cur FROM deg),
+w1 AS (SELECT w.walk_id, w.cur AS prev, a.d_id AS cur
+  FROM w0 w JOIN deg d ON w.cur = d.s_id
+  JOIN adj a ON a.s_id = w.cur
+   AND a.rnk = ((w.cur * 1103515245 + 1 * 12345 + 7) % 2147483647) % d.deg),
+cand AS (SELECT w.walk_id, w.prev, w.cur, a.d_id, a.rnk,
+                CAST(CASE WHEN a.d_id = w.prev THEN 2
+                          WHEN ek.s_id IS NOT NULL THEN 4
+                          ELSE 2 END AS BIGINT) AS w
+  FROM w1 w JOIN adj a ON a.s_id = w.cur
+  LEFT JOIN (SELECT DISTINCT s_id, d_id FROM adj) ek
+         ON ek.s_id = w.prev AND ek.d_id = a.d_id),
+scored AS (SELECT *,
+                  sum(w) OVER (PARTITION BY walk_id ORDER BY rnk
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(w) OVER (PARTITION BY walk_id) AS total,
+                  ((cur * 1103515245 + 2 * 12345 + 7) % 2147483647) % (
+                    sum(w) OVER (PARTITION BY walk_id)) AS pick
+           FROM cand),
+w2 AS (SELECT walk_id, d_id AS cur FROM scored
+       WHERE cum > pick AND cum - w <= pick),
+steps AS (SELECT walk_id, 0 AS step, walk_id AS cur FROM w0
+          UNION ALL SELECT walk_id, 1, cur FROM w1
+          UNION ALL SELECT walk_id, 2, cur FROM w2)
+SELECT s.walk_id, CAST(s.step AS INT) AS step, v.node
+FROM steps s JOIN vocab v ON s.cur = v.id
+"""
+
+
 def _scrub_pii_oracle() -> str:
     """Replays pii.scrub_pii byte-for-byte: the patterns are interpolated
     from the module constants (RE2 ∩ Java regex subset), counts taken on
@@ -2655,6 +2717,7 @@ UNION ALL SELECT node, 2 FROM d2
 """,
         "kg_kcore": _kg_kcore_oracle(),
         "kg_walks": _kg_walks_oracle(),
+        "kg_walks_biased": _kg_walks_biased_oracle(),
         "conv_graph_stats": _BASE_CTE + """
 , t AS (SELECT DISTINCT conv_id, cust AS subj, supp AS obj FROM base
         UNION SELECT DISTINCT conv_id, supp, nat FROM base),

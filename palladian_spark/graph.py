@@ -766,3 +766,117 @@ def conv_graph_stats(triples: DataFrame) -> DataFrame:
                 "density",
                 F.round(F.col("n_edges")
                         / (F.col("n_nodes") * (F.col("n_nodes") - 1)), 6)))
+
+
+def biased_random_walks(edges: DataFrame, walk_len: int = 3, seed: int = 7,
+                        p_num: int = 1, p_den: int = 1,
+                        q_num: int = 1, q_den: int = 1,
+                        src_col: str = "src",
+                        dst_col: str = "dst") -> DataFrame:
+    """node2vec-style second-order walks with rational return/in-out
+    biases, fully deterministic and SQL-replayable.
+
+    Transition weights from (prev → cur) to neighbor d of cur, scaled to
+    INTEGERS so the weighted choice is exact in both engines:
+
+        d == prev                  → p_den · q_num   (1/p, scaled)
+        edge (prev → d) exists     → p_num · q_num   (1, scaled)
+        otherwise                  → p_num · q_den   (1/q, scaled)
+
+    i.e. every node2vec weight {1/p, 1, 1/q} is multiplied by
+    p_num·q_num, which clears both denominators.  The choice at step t picks the
+    first neighbor (in d_id rank order) whose cumulative weight exceeds
+    LCG_mix(cur, t, seed) mod total_weight — same mixer as random_walks.
+    Step 1 has no previous node and uses the uniform first-order rule,
+    matching random_walks exactly.
+
+    Shape per step: the frontier fans out to cur's neighbors (one
+    equi-join), flags the return/common cases with one broadcast-able
+    membership join against the edge list, then one window per
+    (walk_id) computes cumulative weights — heavier than the first-order
+    walk by design; node2vec's bias needs the full neighbor row set.
+    Output: (walk_id, step, node), walk_id = start node's vocabulary id.
+    """
+    e = (edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+         .where(F.col("s") != F.col("d")).distinct())
+    nodes = (e.select(F.col("s").alias("node"))
+             .unionAll(e.select(F.col("d").alias("node"))).distinct())
+    vocab = nodes.withColumn(
+        "id", (F.row_number().over(Window.orderBy("node")) - 1)
+        .cast("long"))
+    adj = (e
+           .join(vocab.withColumnRenamed("node", "s")
+                 .withColumnRenamed("id", "s_id"), "s")
+           .join(vocab.withColumnRenamed("node", "d")
+                 .withColumnRenamed("id", "d_id"), "d")
+           .withColumn("rank", (F.row_number().over(
+               Window.partitionBy("s_id").orderBy("d_id")) - 1)
+               .cast("long"))
+           .select("s_id", "d_id", "rank"))
+    deg = adj.groupBy("s_id").agg(F.count(F.lit(1)).alias("deg"))
+    adj = adj.persist()
+    deg = deg.persist()
+    edge_keys = adj.select(F.col("s_id").alias("_es"),
+                           F.col("d_id").alias("_ed")).distinct()
+
+    w_return = p_den * q_num
+    w_common = p_num * q_num
+    w_other = p_num * q_den
+
+    starts = deg.select(F.col("s_id").alias("walk_id"),
+                        F.col("s_id").alias("cur"))
+    out = starts.select("walk_id", F.lit(0).alias("step"),
+                        F.col("cur").alias("node_id"))
+
+    # step 1: uniform first-order choice (no previous node yet)
+    mix1 = _WALK_MIX.format(cur="cur", step=1, seed=seed)
+    chosen1 = (starts
+               .join(F.broadcast(deg), starts.cur == F.col("s_id"))
+               .withColumn("pick", F.expr(mix1) % F.col("deg"))
+               .select("walk_id", F.col("s_id").alias("_from"), "pick"))
+    frontier = (chosen1
+                .join(adj, (F.col("_from") == adj.s_id)
+                      & (F.col("pick") == adj.rank))
+                .select("walk_id", F.col("s_id").alias("prev"),
+                        F.col("d_id").alias("cur")))
+    out = out.unionByName(
+        frontier.select("walk_id", F.lit(1).alias("step"),
+                        F.col("cur").alias("node_id")))
+
+    for step in range(2, walk_len + 1):
+        cand = (frontier
+                .join(adj.select(F.col("s_id").alias("cur"),
+                                 F.col("d_id"), F.col("rank")), "cur"))
+        cand = (cand
+                .join(edge_keys,
+                      (cand.prev == F.col("_es"))
+                      & (cand.d_id == F.col("_ed")), "left")
+                .withColumn(
+                    "w",
+                    F.when(F.col("d_id") == F.col("prev"),
+                           F.lit(w_return))
+                    .when(F.col("_es").isNotNull(), F.lit(w_common))
+                    .otherwise(F.lit(w_other)).cast("long"))
+                .drop("_es", "_ed"))
+        ww = Window.partitionBy("walk_id").orderBy("rank")
+        mix = _WALK_MIX.format(cur="cur", step=step, seed=seed)
+        scored = (cand
+                  .withColumn("cum", F.sum("w").over(
+                      ww.rowsBetween(Window.unboundedPreceding, 0)))
+                  .withColumn("total", F.sum("w").over(
+                      Window.partitionBy("walk_id")))
+                  .withColumn("pick", F.expr(mix) % F.col("total")))
+        nxt = (scored
+               .where((F.col("cum") > F.col("pick"))
+                      & (F.col("cum") - F.col("w") <= F.col("pick")))
+               .select("walk_id", F.col("cur").alias("prev"),
+                       F.col("d_id").alias("cur")))
+        out = out.unionByName(
+            nxt.select("walk_id", F.lit(step).alias("step"),
+                       F.col("cur").alias("node_id")))
+        frontier = nxt
+    return (out
+            .join(F.broadcast(vocab.withColumnRenamed("id", "node_id")),
+                  "node_id")
+            .select("walk_id", F.col("step").cast("int").alias("step"),
+                    "node"))

@@ -116,3 +116,48 @@ def test_conv_graph_stats_counts_and_density(spark):
     assert abs(got["c1"]["density"] - round(2 / 6, 6)) < 1e-9
     assert got["c2"]["n_nodes"] == 2 and got["c2"]["n_edges"] == 1
     assert abs(got["c2"]["density"] - 0.5) < 1e-9
+
+
+def test_biased_walks_p1q1_equals_first_order(spark):
+    from palladian_spark.graph import biased_random_walks, random_walks
+    pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d"),
+             ("d", "a"), ("b", "d")]
+    e = _edges(spark, pairs)
+    # unit biases degenerate to the uniform first-order rule: cumulative
+    # unit weights select rank == pick, exactly random_walks' choice
+    w1 = sorted(map(tuple, random_walks(e, walk_len=3, seed=9).collect()))
+    w2 = sorted(map(tuple, biased_random_walks(e, walk_len=3, seed=9)
+                    .collect()))
+    assert w1 == w2 and w1
+
+
+def test_biased_walks_return_bias(spark):
+    from palladian_spark.graph import biased_random_walks
+    # at b (prev=a) neighbors are {a, c}; a tiny p (huge return weight)
+    # forces the walk back to a
+    e = _edges(spark, [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")])
+    rows = biased_random_walks(e, walk_len=2, seed=3,
+                               p_num=1, p_den=10_000).collect()
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    for steps in by_walk.values():
+        if 2 in steps:
+            assert steps[2] == steps[0]  # always returned
+
+
+def test_biased_walks_inout_bias(spark):
+    from palladian_spark.graph import biased_random_walks
+    # at b (prev=a): neighbors {a, c, d}; edge a->c exists (common),
+    # a->d does not (other).  Huge q penalizes d; tiny p penalty off,
+    # so choice concentrates on {a (return), c (common)} — never d.
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"),
+                       ("b", "d"), ("c", "a"), ("d", "b")])
+    rows = biased_random_walks(e, walk_len=2, seed=5,
+                               q_num=10_000, q_den=1).collect()
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    walked_from_a = by_walk[0]  # vocab id of 'a' is 0
+    if walked_from_a.get(1) == "b" and 2 in walked_from_a:
+        assert walked_from_a[2] != "d"
