@@ -1250,6 +1250,14 @@ def _q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walk_skipgrams(random_walks(e, walk_len=2, seed=7), window=2)
 
 
+def _q_kg_role_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speaker attribution per fact: user- vs assistant-authored
+    assertion counts (graph.kg_role_provenance)."""
+    from palladian_spark.graph import kg_role_provenance
+    return kg_role_provenance(_q_triples(spark, sf_dir),
+                              _tpch_transcripts(spark, sf_dir))
+
+
 def _q_conv_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation KG subgraph profile: distinct nodes/edges and
     density — the entity-density curation signal (graph.conv_graph_stats)."""
@@ -1605,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_walks_biased": _q_kg_walks_biased,
         "fact_conflicts": _q_fact_conflicts,
         "conv_graph_stats": _q_conv_graph_stats,
+        "kg_role_provenance": _q_kg_role_provenance,
         "kg_negative_samples": _q_kg_negative_samples,
         "kg_entity_split": _q_kg_entity_split,
         "kg_infer_triples": _q_kg_infer_triples,
@@ -2718,6 +2727,23 @@ UNION ALL SELECT node, 2 FROM d2
         "kg_kcore": _kg_kcore_oracle(),
         "kg_walks": _kg_walks_oracle(),
         "kg_walks_biased": _kg_walks_biased_oracle(),
+        "kg_role_provenance": _BASE_CTE + """
+, t AS (SELECT DISTINCT conv_id, turn_idx, cust AS subj,
+               'works_for' AS pred, supp AS obj FROM base
+        UNION SELECT DISTINCT conv_id, turn_idx, supp, 'located_in', nat
+        FROM base),
+r AS (SELECT DISTINCT conv_id, turn_idx,
+             CASE WHEN turn_idx % 2 = 0 THEN 'assistant' ELSE 'user' END
+               AS role
+      FROM base)
+SELECT subj, pred, obj,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_user,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_assistant
+FROM t JOIN r USING (conv_id, turn_idx)
+GROUP BY 1, 2, 3
+""",
         "conv_graph_stats": _BASE_CTE + """
 , t AS (SELECT DISTINCT conv_id, cust AS subj, supp AS obj FROM base
         UNION SELECT DISTINCT conv_id, supp, nat FROM base),

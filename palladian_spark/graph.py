@@ -880,3 +880,23 @@ def biased_random_walks(edges: DataFrame, walk_len: int = 3, seed: int = 7,
                   "node_id")
             .select("walk_id", F.col("step").cast("int").alias("step"),
                     "node"))
+
+
+def kg_role_provenance(triples: DataFrame,
+                       transcripts: DataFrame) -> DataFrame:
+    """Speaker attribution per distinct fact: how many asserting turns
+    were user- vs assistant-authored — the provenance split a KG
+    consumer uses to weight human-stated facts differently from
+    model-stated ones.  One join back to the (conv, turn, role) keys +
+    one map-side-combinable agg."""
+    roles = (transcripts
+             .select("conv_id", "turn_idx", "role").distinct())
+    return (triples
+            .select("conv_id", "turn_idx", "subj", "pred", "obj")
+            .distinct()
+            .join(roles, ["conv_id", "turn_idx"])
+            .groupBy("subj", "pred", "obj")
+            .agg(F.sum((F.col("role") == "user").cast("long"))
+                 .alias("n_user"),
+                 F.sum((F.col("role") == "assistant").cast("long"))
+                 .alias("n_assistant")))

@@ -161,3 +161,19 @@ def test_biased_walks_inout_bias(spark):
     walked_from_a = by_walk[0]  # vocab id of 'a' is 0
     if walked_from_a.get(1) == "b" and 2 in walked_from_a:
         assert walked_from_a[2] != "d"
+
+
+def test_kg_role_provenance_counts(spark):
+    from palladian_spark.graph import kg_role_provenance
+    triples = spark.createDataFrame(
+        [("c1", 1, "a", "p", "b"), ("c1", 2, "a", "p", "b"),
+         ("c1", 2, "a", "p", "b"),   # dup observation collapses
+         ("c2", 1, "a", "p", "b"), ("c1", 1, "x", "q", "y")],
+        ["conv_id", "turn_idx", "subj", "pred", "obj"])
+    transcripts = spark.createDataFrame(
+        [("c1", 1, "user"), ("c1", 2, "assistant"), ("c2", 1, "user")],
+        ["conv_id", "turn_idx", "role"])
+    got = {(r["subj"], r["pred"], r["obj"]): (r["n_user"], r["n_assistant"])
+           for r in kg_role_provenance(triples, transcripts).collect()}
+    assert got[("a", "p", "b")] == (2, 1)
+    assert got[("x", "q", "y")] == (1, 0)
