@@ -1250,6 +1250,13 @@ def _q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walk_skipgrams(random_walks(e, walk_len=2, seed=7), window=2)
 
 
+def _q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation response-latency profile over the turn stream
+    (conv_analysis.turn_latency_stats)."""
+    from palladian_spark.operators.conv_analysis import turn_latency_stats
+    return turn_latency_stats(_tpch_transcripts(spark, sf_dir))
+
+
 def _q_kg_role_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Speaker attribution per fact: user- vs assistant-authored
     assertion counts (graph.kg_role_provenance)."""
@@ -1614,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_conflicts": _q_fact_conflicts,
         "conv_graph_stats": _q_conv_graph_stats,
         "kg_role_provenance": _q_kg_role_provenance,
+        "turn_latency": _q_turn_latency,
         "kg_negative_samples": _q_kg_negative_samples,
         "kg_entity_split": _q_kg_entity_split,
         "kg_infer_triples": _q_kg_infer_triples,
@@ -2727,6 +2735,30 @@ UNION ALL SELECT node, 2 FROM d2
         "kg_kcore": _kg_kcore_oracle(),
         "kg_walks": _kg_walks_oracle(),
         "kg_walks_biased": _kg_walks_biased_oracle(),
+        "turn_latency": _TS_BASE_CTE + """
+tt AS (SELECT conv_id, turn_idx,
+              CASE WHEN turn_idx % 2 = 0 THEN 'assistant'
+                   ELSE 'user' END AS role,
+              min(ts) AS ts
+       FROM base GROUP BY 1, 2),
+g AS (SELECT conv_id, role, ts,
+             lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS pts,
+             lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS prole
+      FROM tt),
+g2 AS (SELECT conv_id,
+              CAST(epoch(ts) - epoch(pts) AS BIGINT) AS gap_s,
+              prole, role
+       FROM g WHERE pts IS NOT NULL)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       round(avg(gap_s), 3) AS mean_gap_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+       round(avg(CASE WHEN prole = 'user' AND role = 'assistant'
+                      THEN gap_s END), 3) AS mean_response_s
+FROM g2 GROUP BY 1
+""",
         "kg_role_provenance": _BASE_CTE + """
 , t AS (SELECT DISTINCT conv_id, turn_idx, cust AS subj,
                'works_for' AS pred, supp AS obj FROM base

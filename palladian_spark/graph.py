@@ -675,13 +675,18 @@ def kcore(edges: DataFrame, k: int = 2, rounds: int = 4,
             .agg(F.count(F.lit(1)).cast("long").alias("degree")))
 
 
-# portable LCG-style mixer shared by random_walks and its SQL oracle:
-# every operand stays within int64 (id, step, seed are all < 2^31).
-_WALK_MIX = "pmod({cur} * 1103515245 + {step} * 12345 + {seed}, 2147483647)"
+# portable LCG-style mixer shared by random_walks and its SQL oracle.
+# The id is pre-reduced mod 2^31−1 so the product can't overflow int64
+# even for sparse xxhash64 ids (ANSI mode throws on overflow); for dense
+# sorted vocab ids (< 2^31−1) the pre-reduction is the identity, so the
+# SQL oracles — which use the unreduced form — replay the same values.
+_WALK_MIX = ("pmod(pmod({cur}, 2147483647) * 1103515245"
+             " + {step} * 12345 + {seed}, 2147483647)")
 
 
 def random_walks(edges: DataFrame, walk_len: int = 3, seed: int = 7,
-                 src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+                 src_col: str = "src", dst_col: str = "dst",
+                 id_strategy: str = "sorted") -> DataFrame:
     """Deterministic DeepWalk-style walk corpus over the directed graph:
     one walk per node with outgoing edges, advanced ``walk_len`` steps.
     Output: (walk_id, step, node) — walk_id = the start node's vocabulary
@@ -694,16 +699,25 @@ def random_walks(edges: DataFrame, walk_len: int = 3, seed: int = 7,
 
     Shape per step: broadcast-join the frontier with the (vocab-sized)
     degree table to compute the chosen rank, then ONE equi-join against
-    the rank-indexed adjacency — no neighbor fan-out.  The vocabulary /
-    adjacency ranks come from window row_numbers over vocab-sized inputs
-    (same documented trade-off as encode_triples)."""
+    the rank-indexed adjacency — no neighbor fan-out.
+
+    ``id_strategy``: 'sorted' (default) numbers the vocabulary with a
+    global-window row_number — deterministic AND replayable by the SQL
+    oracle, with the same documented vocab-sized single-task sort as
+    encode_triples.  'hash' derives ids as xxhash64(node): fully
+    distributed (no global sort — the 100-TB path), still deterministic
+    per node, but not oracle-replayable (DuckDB lacks xxhash64) and
+    walk_ids are sparse hashes rather than dense indices."""
     e = (edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
          .where(F.col("s") != F.col("d")).distinct())
     nodes = (e.select(F.col("s").alias("node"))
              .unionAll(e.select(F.col("d").alias("node"))).distinct())
-    vocab = nodes.withColumn(
-        "id", (F.row_number().over(Window.orderBy("node")) - 1)
-        .cast("long"))
+    if id_strategy == "hash":
+        vocab = nodes.withColumn("id", F.xxhash64("node"))
+    else:
+        vocab = nodes.withColumn(
+            "id", (F.row_number().over(Window.orderBy("node")) - 1)
+            .cast("long"))
     adj = (e
            .join(vocab.withColumnRenamed("node", "s")
                  .withColumnRenamed("id", "s_id"), "s")

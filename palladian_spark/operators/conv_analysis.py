@@ -114,3 +114,37 @@ def conversation_windows(transcripts: DataFrame,
                      "transform(array_sort(collect_list("
                      "struct(turn_idx, text))), x -> x.text)"), " ")
                  .alias("window_text")))
+
+
+def turn_latency_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation response-latency profile: seconds between
+    consecutive turns under stable (turn_idx, role, ts) ordering —
+    n_gaps, mean/max gap, and the user→assistant response mean (the
+    latency a dialogue-quality gate filters on).
+
+    One window over the per-conversation turn sequence (duplicate
+    (conv_id, turn_idx) keys collapse to their earliest observation
+    first — the deterministic turn-dedup pattern) + one hash agg.
+    Gap seconds are epoch-difference BIGINTs; means are rounded to 3
+    decimals so both engines hash identically."""
+    from pyspark.sql import Window
+    t = (transcripts
+         .groupBy("conv_id", "turn_idx")
+         .agg(F.min("ts").alias("ts"),
+              F.min_by("role", F.struct("ts", "role")).alias("role")))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gaps = (t
+            .withColumn("_prev_ts", F.lag("ts").over(w))
+            .withColumn("_prev_role", F.lag("role").over(w))
+            .where(F.col("_prev_ts").isNotNull())
+            .withColumn("gap_s",
+                        (F.unix_timestamp("ts")
+                         - F.unix_timestamp("_prev_ts")).cast("long")))
+    return (gaps.groupBy("conv_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"),
+                 F.round(F.avg("gap_s"), 3).alias("mean_gap_s"),
+                 F.max("gap_s").alias("max_gap_s"),
+                 F.round(F.avg(F.when(
+                     (F.col("_prev_role") == "user")
+                     & (F.col("role") == "assistant"),
+                     F.col("gap_s"))), 3).alias("mean_response_s")))

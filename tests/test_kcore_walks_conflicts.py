@@ -177,3 +177,45 @@ def test_kg_role_provenance_counts(spark):
            for r in kg_role_provenance(triples, transcripts).collect()}
     assert got[("a", "p", "b")] == (2, 1)
     assert got[("x", "q", "y")] == (1, 0)
+
+
+def test_random_walks_hash_ids(spark):
+    from palladian_spark.graph import random_walks
+    pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")]
+    e = _edges(spark, pairs)
+    rows = random_walks(e, walk_len=3, seed=5,
+                        id_strategy="hash").collect()
+    assert rows
+    # determinism + edge validity hold for the distributed-id path too
+    again = random_walks(e, walk_len=3, seed=5,
+                         id_strategy="hash").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    edge_set = set(pairs)
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    for steps in by_walk.values():
+        for s in range(1, max(steps) + 1):
+            if s in steps:
+                assert (steps[s - 1], steps[s]) in edge_set
+
+
+def test_turn_latency_stats(spark):
+    import datetime
+    from palladian_spark.operators.conv_analysis import turn_latency_stats
+    d = datetime.datetime
+    t = spark.createDataFrame(
+        [("c1", 1, "user", "hi", None, d(2024, 1, 1, 0, 0, 0)),
+         ("c1", 2, "assistant", "yo", None, d(2024, 1, 1, 0, 0, 30)),
+         ("c1", 3, "user", "ok", None, d(2024, 1, 1, 0, 1, 30)),
+         ("c1", 3, "user", "ok", None, d(2024, 1, 1, 0, 9, 9)),  # dup turn
+         ("c2", 1, "user", "x", None, d(2024, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    got = {r["conv_id"]: r for r in turn_latency_stats(t).collect()}
+    r1 = got["c1"]
+    # dup (conv, turn) collapses to its earliest ts
+    assert r1["n_gaps"] == 2 and r1["max_gap_s"] == 60
+    assert abs(r1["mean_gap_s"] - 45.0) < 1e-9
+    assert abs(r1["mean_response_s"] - 30.0) < 1e-9  # user->assistant only
+    assert "c2" not in got  # single-turn conv has no gaps

@@ -39,7 +39,7 @@ from palladian_spark.session import get_spark
 from palladian_spark.data.transcripts import (
     entity_dictionary_pdf, generate_transcripts_df)
 from palladian_spark.pipeline import default_model
-from palladian_spark.relations import canonicalize_triples, extract_triples
+from palladian_spark.relations import extract_canonical_triples
 import __spark_entry__ as em
 
 cpus = {cpus}
@@ -61,8 +61,7 @@ entity_dict = spark.createDataFrame(
 best = None
 for _ in range({repeats}):
     t0 = time.time()
-    n_triples = canonicalize_triples(extract_triples(gen, model),
-                                     entity_dict).count()
+    n_triples = extract_canonical_triples(gen, model, entity_dict).count()
     dt = time.time() - t0
     if best is None or dt < best[0]:
         best = (dt, n_triples)
