@@ -265,6 +265,107 @@ DEFAULT_TAGGER_FORMATS: List[Tuple[str, str]] = (
 _COMPILED = {rx: regex.compile(rx) for rx, _ in DEFAULT_TAGGER_FORMATS}
 _DOUBLE_SPACE = regex.compile(r"[ ]{2,}")
 
+# ---------------------------------------------------------------------------
+# sound per-format prefilter gates: each entry lists CONJUNCTIVE necessary
+# conditions for the format to match AT ALL in a text — a condition is a
+# string of characters (at least one must occur) or the _D7 sentinel
+# (7+ consecutive digits).  A text failing a gate cannot contain a match
+# for that format (every alternation branch requires the chars), so the
+# expensive full scan is skipped; ~80% of the 42 scans are gated on
+# typical conversational text.  Soundness is pinned by a randomized
+# gated-vs-ungated equivalence test (tests/test_dates.py) and by the
+# dates_tagged / dates_normalized oracles.
+# ---------------------------------------------------------------------------
+# regex-backed conditions (sentinel keys start with NUL so they can't
+# collide with plain character classes):
+#   d7     — 7+ consecutive digits (the number-only ISO formats)
+#   d4     — a 4-digit run (context-year format)
+#   month  — case-folded 2-letter month-name prefixes: every branch of
+#            every month alternation (short/long/German) starts with one
+#   d-sep  — a digit immediately followed by the given separator class:
+#            in all gated numeric formats at least one separator follows
+#            a day/month/year digit, so prose punctuation (a sentence
+#            period after a word) no longer defeats the gate
+_GATE_REGEXES = {
+    "\x00d7": regex.compile(r"\d{7}"),
+    "\x00d4": regex.compile(r"\d{4}"),
+    "\x00month": regex.compile(
+        r"(?i)(?:ja|fe|ma|mä|ap|au|ju|se|oc|ok|no|de)"),
+    # loose digit-dash: for formats whose dash may precede a LETTER
+    # (YYYY-W.., YYYY-MMM-D)
+    "\x00d-": regex.compile(r"\d-"),
+    # sharp digit-sep-(digit|'): every branch's FIRST separator sits
+    # between a day/month/year digit and the next numeric field (a
+    # 2-digit year may open with an apostrophe) — prose like "N7. " or
+    # "7.5 km/h x" no longer passes for the full class
+    "\x00d-d": regex.compile(r"\d-['\d]"),
+    "\x00d/d": regex.compile(r"\d/['\d]"),
+    "\x00d.d": regex.compile(r"\d\.['\d]"),
+    "\x00dsep4d": regex.compile(r"\d[./_-]['\d]"),
+    "\x00dsep3ad": regex.compile(r"\d[._-]['\d]"),
+    "\x00dsep3bd": regex.compile(r"\d[/._]['\d]"),
+}
+
+_FORMAT_GATES = {
+    DATE_ANSI_C_TZ[0]: (":",),
+    DATE_ANSI_C[0]: (":",),
+    DATE_RFC_1036_UTC[0]: (":",),
+    DATE_RFC_1036[0]: (":",),
+    DATE_RFC_1123_UTC[0]: (":",),
+    DATE_RFC_1123[0]: (":",),
+    DATE_ISO8601_YD_T[0]: ("\x00d-d",),
+    DATE_ISO8601_YMD_T[0]: ("\x00d-d",),
+    DATE_ISO8601_YWD_T[0]: ("\x00d-", "W"),
+    DATE_USA_MM_D_Y_T[0]: ("\x00d/d",),
+    DATE_EU_D_MM_Y_T[0]: ("\x00dsep4d",),
+    DATE_USA_MMMM_D_Y_T[0]: (",", "\x00month"),
+    DATE_EU_D_MMMM_Y_T[0]: ("\x00month",),
+    DATE_MMMM_DD_HH_MM_SS_TZ_YYYY[0]: ("\x00month",),
+    DATE_USA_MM_D_Y_T_SEPARATOR[0]: ("\x00dsep3ad",),
+    DATE_ISO8601_YMD[0]: ("\x00d-d",),
+    DATE_USA_MM_D_Y[0]: ("\x00d/d",),
+    DATE_EU_D_MM_Y[0]: ("\x00dsep4d",),
+    DATE_USA_MMMM_D_Y[0]: ("\x00month",),
+    DATE_USA_MMMM_D_Y_SEP[0]: ("-", "\x00month"),
+    DATE_EU_D_MMMM_Y[0]: ("\x00month",),
+    DATE_ISO8601_YWD[0]: ("\x00d-", "W"),
+    DATE_URL_D[0]: ("\x00dsep4d",),
+    DATE_USA_MM_D_Y_SEPARATOR[0]: ("\x00dsep3ad",),
+    DATE_EUSA_YYYY_MMM_D[0]: ("\x00d-", "\x00month"),
+    DATE_ISO8601_YMD_SEPARATOR[0]: ("\x00dsep3bd",),
+    DATE_ISO8601_YD[0]: ("\x00d-d",),
+    DATE_ISO8601_YM[0]: ("\x00d-d",),
+    DATE_ISO8601_YW[0]: ("\x00d-", "W"),
+    DATE_EUSA_MMMM_Y[0]: ("\x00month",),
+    DATE_USA_MM_D[0]: ("\x00d/d",),
+    DATE_USA_MM_Y[0]: ("\x00d/d",),
+    DATE_EU_D_MM[0]: ("\x00d.d",),
+    DATE_EU_D_MMMM[0]: ("\x00month",),
+    DATE_USA_MMMM_D[0]: ("\x00month",),
+    DATE_EU_MM_Y[0]: ("\x00dsep4d",),
+    DATE_URL[0]: ("\x00dsep4d",),
+    DATE_ISO8601_YD_NO[0]: ("\x00d7",),
+    DATE_ISO8601_YMD_NO[0]: ("\x00d7",),
+    DATE_ISO8601_YW_NO[0]: ("W",),
+    DATE_ISO8601_YWD_NO[0]: ("W",),
+    DATE_CONTEXT_YYYY[0]: ("\x00d4",),
+}
+
+
+def _gates_pass(conds, text: str, cache: dict) -> bool:
+    for cond in conds:
+        hit = cache.get(cond)
+        if hit is None:
+            rx = _GATE_REGEXES.get(cond)
+            if rx is not None:
+                hit = rx.search(text) is not None
+            else:
+                hit = any(c in text for c in cond)
+            cache[cond] = hit
+        if not hit:
+            return False
+    return True
+
 
 class ExtractedDate(NamedTuple):
     date_string: str
@@ -304,15 +405,22 @@ def find_dates(text: str,
     itself treated as a regex)."""
     text = _remove_double_whitespaces(text)
     result: List[ExtractedDate] = []
+    gate_cache: dict = {}
     for rx, fmt_name in formats:
+        gates = _FORMAT_GATES.get(rx)
+        if gates and not _gates_pass(gates, text, gate_cache):
+            continue
         pattern = _COMPILED.get(rx) or regex.compile(rx)
-        for date_string in _find_dates_one_format(text, pattern):
+        found = _find_dates_one_format(text, pattern)
+        for date_string in found:
             try:  # Java String.replaceFirst: pattern-compile the needle
                 text = regex.sub(date_string, "x" * len(date_string), text,
                                  count=1)
             except regex.error:
                 text = text.replace(date_string, "x" * len(date_string), 1)
             result.append(ExtractedDate(date_string, fmt_name))
+        if found:
+            gate_cache.clear()  # masking mutated the text — re-evaluate
     return result
 
 

@@ -179,3 +179,37 @@ def test_normalize_defensive_none():
     from palladian_spark.textproc.date_logic import parse_date
     assert parse_date("not a date", "MM/DD/YYYY", 2026) is None
     assert parse_date("2014", "NO SUCH FORMAT", 2026) is None
+
+
+def test_format_gates_equivalence_fuzz():
+    """The per-format prefilter gates are NECESSARY conditions: gated and
+    ungated find_dates must agree on adversarial mixed strings."""
+    import random
+
+    from palladian_spark.textproc import dates as D
+
+    fmt_rxs = {rx for rx, _ in D.DEFAULT_TAGGER_FORMATS}
+    assert all(k in fmt_rxs for k in D._FORMAT_GATES)
+
+    def find_ungated(text):
+        saved = D._FORMAT_GATES
+        D._FORMAT_GATES = {}
+        try:
+            return D.find_dates(text, D.DEFAULT_TAGGER_FORMATS)
+        finally:
+            D._FORMAT_GATES = saved
+
+    rng = random.Random(45)
+    pieces = ["2024-03-15", "3/15/2024", "15.03.2024", "March 15, 2024",
+              "Mon Mar 15 10:30:00 2024", "2024-W11-5", "20240315",
+              "2024075", "in 1987", "Customer C123", "hello world",
+              "12/25", "Sept. 3", "10:30:00", "5. October 2019",
+              "May 2020", "1.2.", "x_y_z", "'99-01-02",
+              "Fri, 15 Mar 2024 10:30:00 GMT", "text. More text", "Ma 3",
+              "MÄRZ 2001", "1. Mai '99", "Dez. 24", "ok 2024W052",
+              "April 1st, 24", "23-Apr-99", "11_12_2013", "2024.03.15",
+              "12.'99", "3/'98", "7-'77", "1_'01", "N7.", "v1.2 beta"]
+    for _ in range(2500):
+        t = " ".join(rng.choice(pieces)
+                     for _ in range(rng.randint(1, 5)))
+        assert D.find_dates(t, D.DEFAULT_TAGGER_FORMATS) == find_ungated(t), t
