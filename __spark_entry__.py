@@ -1250,6 +1250,14 @@ def _q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walk_skipgrams(random_walks(e, walk_len=2, seed=7), window=2)
 
 
+def _q_kg_motif_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-pattern query surface (graph.match_motif): every
+    (a)-[works_for]->(b)-[located_in]->(c) instance in the KG."""
+    from palladian_spark.graph import match_motif
+    return match_motif(_q_triples(spark, sf_dir),
+                       "(a)-[works_for]->(b)-[located_in]->(c)")
+
+
 def _q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation response-latency profile over the turn stream
     (conv_analysis.turn_latency_stats)."""
@@ -1622,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_graph_stats": _q_conv_graph_stats,
         "kg_role_provenance": _q_kg_role_provenance,
         "turn_latency": _q_turn_latency,
+        "kg_motif_paths": _q_kg_motif_paths,
         "kg_negative_samples": _q_kg_negative_samples,
         "kg_entity_split": _q_kg_entity_split,
         "kg_infer_triples": _q_kg_infer_triples,
@@ -2735,6 +2744,15 @@ UNION ALL SELECT node, 2 FROM d2
         "kg_kcore": _kg_kcore_oracle(),
         "kg_walks": _kg_walks_oracle(),
         "kg_walks_biased": _kg_walks_biased_oracle(),
+        "kg_motif_paths": _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
+        FROM base
+        UNION SELECT DISTINCT supp, 'located_in', nat FROM base),
+wf AS (SELECT DISTINCT subj, obj FROM t WHERE pred = 'works_for'),
+li AS (SELECT DISTINCT subj, obj FROM t WHERE pred = 'located_in')
+SELECT DISTINCT wf.subj AS a, wf.obj AS b, li.obj AS c
+FROM wf JOIN li ON wf.obj = li.subj
+""",
         "turn_latency": _TS_BASE_CTE + """
 tt AS (SELECT conv_id, turn_idx,
               CASE WHEN turn_idx % 2 = 0 THEN 'assistant'

@@ -914,3 +914,55 @@ def kg_role_provenance(triples: DataFrame,
                  .alias("n_user"),
                  F.sum((F.col("role") == "assistant").cast("long"))
                  .alias("n_assistant")))
+
+
+def match_motif(triples: DataFrame, motif: str) -> DataFrame:
+    """Tiny motif matcher over the triple table — the GraphFrames-style
+    path-query surface: ``match_motif(t, "(a)-[works_for]->(b)-[located_in]->(c)")``
+    returns one row per path instance with one column per named node
+    variable (a, b, c, ...).
+
+    Grammar: ``(var)-[pred]->(var)-[pred]->(var)...`` — a linear chain;
+    ``pred`` is a literal predicate name, ``var`` any identifier.
+    Repeated variables express joins on node identity (cycles):
+    ``(a)-[p]->(b)-[q]->(a)`` finds 2-cycles.  Distinct edges only; a
+    step never reuses the previous step's exact edge direction-reversed
+    trick is NOT applied (paths may revisit edges — standard homomorphic
+    motif semantics, same as GraphFrames).
+
+    Plan shape: k−1 hash joins over the distinct edge table, one per
+    chain step, each keyed on the shared node variable; Catalyst/AQE
+    pick broadcast vs shuffle per step.  No driver-side work beyond
+    parsing the pattern string."""
+    import re as _re
+    steps = _re.findall(
+        r"\(\s*(\w+)\s*\)\s*-\s*\[\s*(\w+)\s*\]\s*->\s*(?=\(\s*(\w+)\s*\))",
+        motif)
+    if not steps:
+        raise ValueError(f"unparseable motif: {motif!r}")
+    e = triples.select("subj", "pred", "obj").distinct()
+    out = None
+    bound: list = []
+    for src_var, pred, dst_var in steps:
+        step = (e.where(F.col("pred") == pred)
+                .select(F.col("subj").alias("_s"),
+                        F.col("obj").alias("_d")))
+        if out is None:
+            out = step.select(F.col("_s").alias(src_var),
+                              F.col("_d").alias(dst_var))
+            bound = [src_var, dst_var]
+            continue
+        if src_var not in bound:
+            raise ValueError(
+                f"motif step source {src_var!r} not bound yet — chains "
+                f"must be written left to right")
+        joined = out.join(step, out[src_var] == step["_s"])
+        if dst_var in bound:
+            # cycle: the new edge must land on the already-bound node
+            out = (joined.where(F.col("_d") == out[dst_var])
+                   .drop("_s", "_d"))
+        else:
+            out = (joined.withColumn(dst_var, F.col("_d"))
+                   .drop("_s", "_d"))
+            bound.append(dst_var)
+    return out.distinct()

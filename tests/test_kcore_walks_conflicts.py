@@ -219,3 +219,24 @@ def test_turn_latency_stats(spark):
     assert abs(r1["mean_gap_s"] - 45.0) < 1e-9
     assert abs(r1["mean_response_s"] - 30.0) < 1e-9  # user->assistant only
     assert "c2" not in got  # single-turn conv has no gaps
+
+
+def test_match_motif_chain_and_cycle(spark):
+    from palladian_spark.graph import match_motif
+    triples = spark.createDataFrame(
+        [("c", 1, "anna", "works_for", "acme"),
+         ("c", 2, "acme", "located_in", "paris"),
+         ("c", 3, "bob", "works_for", "globex"),
+         ("c", 4, "anna", "works_for", "acme"),   # dup edge collapses
+         ("c", 5, "paris", "twinned_with", "rome"),
+         ("c", 6, "rome", "twinned_with", "paris")],
+        ["conv_id", "turn_idx", "subj", "pred", "obj"])
+    chain = match_motif(
+        triples, "(a)-[works_for]->(b)-[located_in]->(c)").collect()
+    assert [tuple(r) for r in chain] == [("anna", "acme", "paris")]
+    cycle = match_motif(
+        triples, "(x)-[twinned_with]->(y)-[twinned_with]->(x)").collect()
+    assert sorted(map(tuple, cycle)) == [("paris", "rome"), ("rome", "paris")]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        match_motif(triples, "nonsense")
