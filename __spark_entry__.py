@@ -1250,6 +1250,26 @@ def _q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walk_skipgrams(random_walks(e, walk_len=2, seed=7), window=2)
 
 
+def _q_extraction_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline quality gauge: per conversation, how many turns exist,
+    how many yielded at least one triple, and the coverage ratio — the
+    first thing an extraction-quality dashboard plots."""
+    t = _tpch_transcripts(spark, sf_dir)
+    turns = (t.select("conv_id", "turn_idx").distinct()
+             .groupBy("conv_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_turns")))
+    covered = (_q_triples(spark, sf_dir)
+               .select("conv_id", "turn_idx").distinct()
+               .groupBy("conv_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_covered")))
+    return (turns.join(covered, "conv_id", "left")
+            .select("conv_id", "n_turns",
+                    F.coalesce("n_covered", F.lit(0)).cast("long")
+                    .alias("n_covered"))
+            .withColumn("coverage",
+                        F.round(F.col("n_covered") / F.col("n_turns"), 6)))
+
+
 def _q_kg_motif_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path-pattern query surface (graph.match_motif): every
     (a)-[works_for]->(b)-[located_in]->(c) instance in the KG."""
@@ -1631,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_role_provenance": _q_kg_role_provenance,
         "turn_latency": _q_turn_latency,
         "kg_motif_paths": _q_kg_motif_paths,
+        "extraction_coverage": _q_extraction_coverage,
         "kg_negative_samples": _q_kg_negative_samples,
         "kg_entity_split": _q_kg_entity_split,
         "kg_infer_triples": _q_kg_infer_triples,
@@ -2744,6 +2765,16 @@ UNION ALL SELECT node, 2 FROM d2
         "kg_kcore": _kg_kcore_oracle(),
         "kg_walks": _kg_walks_oracle(),
         "kg_walks_biased": _kg_walks_biased_oracle(),
+        # analytically EVERY derived turn yields triples, so the oracle
+        # asserts full coverage — any pipeline turn-miss turns this row
+        # red (an extraction-completeness gate, not a tautology)
+        "extraction_coverage": _BASE_CTE + """
+, tt AS (SELECT DISTINCT conv_id, turn_idx FROM base)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(*) AS BIGINT) AS n_covered,
+       CAST(1.0 AS DOUBLE) AS coverage
+FROM tt GROUP BY 1
+""",
         "kg_motif_paths": _BASE_CTE + """
 , t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
         FROM base
