@@ -367,7 +367,12 @@ def connected_components_star(pairs: DataFrame, src_col: str = "a_id",
     ``return_rounds`` additionally returns the number of rounds taken
     (for the O(log n) convergence evidence in tests).
     """
+    from pyspark.storagelevel import StorageLevel
     raw = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    # round 1 and the final node labeling both read the raw pair plan —
+    # persist so an expensive upstream (MinHash/LSH) executes once, not
+    # once per consumer
+    raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (raw.select(F.col("u").alias("node"))
              .union(raw.select(F.col("v").alias("node"))).distinct())
     e = raw.where(F.col("u") != F.col("v")).distinct()
@@ -412,6 +417,9 @@ def connected_components_star(pairs: DataFrame, src_col: str = "a_id",
               .agg(F.min("v").alias("_root")))
     labels = (nodes.join(parent, "node", "left")
               .select("node", F.coalesce("_root", "node").alias("component")))
+    # pin the (node-sized) result so the raw-pair cache can be released
+    labels = labels.localCheckpoint(eager=True)
+    raw.unpersist()
     if return_rounds:
         return labels, rounds
     return labels
@@ -434,9 +442,15 @@ def connected_components(pairs: DataFrame, src_col: str = "a_id",
     localCheckpoint (local-mode default) to a reliable ``.checkpoint()``
     so a multi-round run survives executor loss (see _lineage_cut).
     """
+    from pyspark.storagelevel import StorageLevel
     e = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
     und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
         .distinct()
+    # EVERY round joins against `und`; without a persist the whole
+    # upstream pair-generation plan (e.g. a MinHash/LSH sweep) re-executes
+    # per round — measured as the dominant cost of dedup_components
+    # (rounds × LSH).  Edge-table sized.
+    und = und.persist(StorageLevel.MEMORY_AND_DISK)
     labels = (und.select(F.col("u").alias("node"))
               .union(und.select(F.col("v").alias("node"))).distinct()
               .withColumn("label", F.col("node")))
@@ -456,6 +470,9 @@ def connected_components(pairs: DataFrame, src_col: str = "a_id",
         labels = new
         if changed == 0:
             break
+    # the final labels are checkpoint-materialized by the last round's
+    # convergence action, so the edge cache can be released eagerly
+    und.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
 
