@@ -1300,6 +1300,21 @@ def _q_conv_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conv_graph_stats(_q_triples(spark, sf_dir))
 
 
+def _q_skipgram_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style filtered negatives for the walk skip-gram corpus
+    (kg_training.skipgram_negatives over walk_skipgrams)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from palladian_spark.graph import random_walks
+    from palladian_spark.operators.kg_training import (
+        skipgram_negatives, walk_skipgrams,
+    )
+    t = _q_triples(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    e = t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    pairs = walk_skipgrams(random_walks(e, walk_len=2, seed=7), window=2)
+    return skipgram_negatives(pairs, n_neg=2)
+
+
 def _q_fact_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truth-maintenance conflicts: pairs of different objects asserted
     for the same (subj, pred) within 30 days of each other, with pair
@@ -1652,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_latency": _q_turn_latency,
         "kg_motif_paths": _q_kg_motif_paths,
         "extraction_coverage": _q_extraction_coverage,
+        "skipgram_negatives": _q_skipgram_negatives,
         "kg_negative_samples": _q_kg_negative_samples,
         "kg_entity_split": _q_kg_entity_split,
         "kg_infer_triples": _q_kg_infer_triples,
@@ -2846,6 +2862,27 @@ SELECT a.node AS center, b.node AS context,
 FROM w a JOIN w b ON a.walk_id = b.walk_id
 WHERE a.step <> b.step AND abs(a.step - b.step) <= 2
 GROUP BY 1, 2
+""",
+        "skipgram_negatives": """
+WITH w AS (SELECT * FROM (""" + _kg_walks_oracle() + """) walks),
+sgp AS (SELECT DISTINCT a.node AS center, b.node AS context
+        FROM w a JOIN w b ON a.walk_id = b.walk_id
+        WHERE a.step <> b.step AND abs(a.step - b.step) <= 2),
+vocab AS (SELECT entity, row_number() OVER (ORDER BY entity) - 1 AS idx
+          FROM (SELECT DISTINCT context AS entity FROM sgp)),
+cand AS (SELECT center, context, k,
+                ('0x' || substr(md5('sgneg|' || center || '|' || context
+                                    || '|' || CAST(k AS VARCHAR)), 1, 8))
+                  ::BIGINT % (SELECT count(*) FROM vocab) AS idx
+         FROM sgp CROSS JOIN (VALUES (0), (1)) ks(k)),
+corr AS (SELECT c.center, c.context, c.k, v.entity AS neg_context
+         FROM cand c JOIN vocab v USING (idx)
+         WHERE v.entity <> c.context)
+SELECT corr.center, corr.context, CAST(corr.k AS INT) AS k,
+       corr.neg_context
+FROM corr LEFT JOIN sgp t ON corr.center = t.center
+                         AND corr.neg_context = t.context
+WHERE t.center IS NULL
 """,
         "fact_conflicts": _TS_BASE_CTE + """
 o2 AS (SELECT DISTINCT subj, pred, obj, ts FROM obs)

@@ -97,3 +97,59 @@ def entity_split(triples: DataFrame, valid_frac: float = 0.1,
             .when(gate < t_hi, F.lit("test"))
             .otherwise(F.lit("train")))
     return t.withColumn("fold", fold)
+
+
+def walk_skipgrams(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram (center, context) pairs from a random-walk corpus —
+    the node2vec/DeepWalk training-pair stage.  ``walks`` is the
+    (walk_id, step, node) output of graph.random_walks; every ordered
+    pair of distinct positions within ``window`` steps of each other in
+    the SAME walk yields one row, weighted by the number of walk
+    positions that produced it.
+
+    Shape: one self-join on walk_id (band predicate on step distance) +
+    one hash agg.  Walks are short (wl+1 rows), so the per-key fan-out
+    is bounded by wl·window — the join key is walk_id, uniformly
+    spread by construction."""
+    a = walks.select("walk_id", F.col("step").alias("step_a"),
+                     F.col("node").alias("center"))
+    b = walks.select("walk_id", F.col("step").alias("step_b"),
+                     F.col("node").alias("context"))
+    gap = F.abs(F.col("step_a") - F.col("step_b"))
+    return (a.join(b, "walk_id")
+            .where((F.col("step_a") != F.col("step_b"))
+                   & (gap <= F.lit(int(window))))
+            .groupBy("center", "context")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+
+
+def skipgram_negatives(pairs: DataFrame, n_neg: int = 2,
+                       salt: str = "sgneg") -> DataFrame:
+    """Filtered negative samples for a skip-gram (center, context) pair
+    corpus (walk_skipgrams output) — the word2vec-style negatives a
+    node-embedding trainer consumes next to the positive pairs.
+
+    Per distinct (center, context) pair and slot k < ``n_neg``, the
+    candidate negative context is drawn by the portable md5 gate over
+    the context vocabulary (same protocol as negative_samples);
+    candidates that reproduce the pair's own context or collide with
+    ANY true (center, x) pair are dropped (filtered protocol).  Output:
+    (center, context, k, neg_context)."""
+    p = pairs.select("center", "context").distinct()
+    vocab = (p.select(F.col("context").alias("entity")).distinct()
+             .withColumn("idx",
+                         F.row_number().over(Window.orderBy("entity")) - 1))
+    n_vocab = vocab.count()
+    cand = (p.withColumn("k", F.explode(F.sequence(F.lit(0),
+                                                   F.lit(n_neg - 1))))
+            .withColumn("idx", F.pmod(
+                _md5_long(F.lit(salt), F.col("center"), F.col("context"),
+                          F.col("k")), F.lit(n_vocab))))
+    corrupted = (cand.join(broadcast(vocab), "idx")
+                 .withColumnRenamed("entity", "neg_context")
+                 .drop("idx")
+                 .where(F.col("neg_context") != F.col("context")))
+    true_pairs = p.select("center", F.col("context").alias("neg_context"))
+    return (corrupted.join(true_pairs, ["center", "neg_context"],
+                           "left_anti")
+            .select("center", "context", "k", "neg_context"))

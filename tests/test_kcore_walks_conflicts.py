@@ -240,3 +240,21 @@ def test_match_motif_chain_and_cycle(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         match_motif(triples, "nonsense")
+
+
+def test_skipgram_negatives_filtered(spark):
+    from palladian_spark.operators.kg_training import skipgram_negatives
+    pairs = spark.createDataFrame(
+        [("a", "b", 2), ("a", "c", 1), ("b", "a", 2), ("c", "a", 1)],
+        ["center", "context", "n_pairs"])
+    rows = skipgram_negatives(pairs, n_neg=3).collect()
+    assert rows
+    true = {("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")}
+    for r in rows:
+        # filtered protocol: no negative reproduces a true pair or self
+        assert (r["center"], r["neg_context"]) not in true
+        assert r["neg_context"] != r["context"]
+        assert 0 <= r["k"] < 3
+    # determinism
+    again = skipgram_negatives(pairs, n_neg=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
