@@ -138,10 +138,13 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         ("kg_kcore", lambda: kcore(
             triples.select(F.col("subj").alias("src"),
                            F.col("obj").alias("dst")), k=3, rounds=3)),
+        # id_strategy="hash": the distributed vocabulary path (no global
+        # row_number sort) — the configuration a real cluster runs; the
+        # contract query keeps sorted ids for SQL-oracle replay
         ("kg_walks_skipgrams", lambda: walk_skipgrams(random_walks(
             triples.select(F.col("subj").alias("src"),
                            F.col("obj").alias("dst")),
-            walk_len=2, seed=7), window=2)),
+            walk_len=2, seed=7, id_strategy="hash"), window=2)),
     ]:
         best = None
         for _ in range(2):
