@@ -1270,6 +1270,28 @@ def _q_extraction_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(F.col("n_covered") / F.col("n_turns"), 6)))
 
 
+def _q_kg_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the entity co-mention graph after 2 peels: surviving
+    canonical edges with their last-round triangle support
+    (graph.ktruss) — the edge-level dense backbone next to kg_kcore's
+    node-level one.  Same co-mention edge construction as kg_triangles."""
+    from pyspark.storagelevel import StorageLevel
+
+    from palladian_spark.graph import ktruss
+    t = _q_triples(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    direct = t.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+    wf = (t.where(F.col("pred") == "works_for")
+          .select("conv_id", "turn_idx", F.col("subj").alias("cust"),
+                  F.col("obj").alias("mid")))
+    li = (t.where(F.col("pred") == "located_in")
+          .select("conv_id", "turn_idx", F.col("subj").alias("mid"),
+                  F.col("obj").alias("nat")))
+    closure = (wf.join(li, ["conv_id", "turn_idx", "mid"])
+               .select(F.col("cust").alias("u"), F.col("nat").alias("v")))
+    return ktruss(direct.union(closure), k=3, rounds=2,
+                  src_col="u", dst_col="v")
+
+
 def _q_kg_motif_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path-pattern query surface (graph.match_motif): every
     (a)-[works_for]->(b)-[located_in]->(c) instance in the KG."""
@@ -1668,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_motif_paths": _q_kg_motif_paths,
         "extraction_coverage": _q_extraction_coverage,
         "skipgram_negatives": _q_skipgram_negatives,
+        "kg_ktruss": _q_kg_ktruss,
         "kg_negative_samples": _q_kg_negative_samples,
         "kg_entity_split": _q_kg_entity_split,
         "kg_infer_triples": _q_kg_infer_triples,
@@ -3398,6 +3421,31 @@ JOIN (SELECT * FROM w WHERE rnd = 1) l USING (src, pred, dst)
         # {cust, supp, nat}; pairwise edges, then textbook a<b<c triangle
         # join (tiny here; the Spark side's degree orientation is the
         # scale path, the oracle only needs the same answer)
+        "kg_ktruss": _BASE_CTE + """
+, ent AS (
+  SELECT conv_id, turn_idx, cust AS x, supp AS y FROM base
+  UNION SELECT conv_id, turn_idx, cust, nat FROM base
+  UNION SELECT conv_id, turn_idx, supp, nat FROM base
+), e0 AS (
+  SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+  FROM ent WHERE x <> y
+), und0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+sup1 AS (
+  SELECT e0.u, e0.v, CAST(count(*) AS BIGINT) AS support
+  FROM e0 JOIN und0 a ON e0.u = a.u
+          JOIN und0 b ON e0.v = b.u AND a.v = b.v
+  GROUP BY e0.u, e0.v
+), e1 AS (SELECT u, v FROM sup1 WHERE support >= 1),
+und1 AS (SELECT u, v FROM e1 UNION ALL SELECT v, u FROM e1),
+sup2 AS (
+  SELECT e1.u, e1.v, CAST(count(*) AS BIGINT) AS support
+  FROM e1 JOIN und1 a ON e1.u = a.u
+          JOIN und1 b ON e1.v = b.u AND a.v = b.v
+  GROUP BY e1.u, e1.v
+), e2 AS (SELECT u, v FROM sup2 WHERE support >= 1)
+SELECT e2.u, e2.v, sup2.support
+FROM e2 JOIN sup2 USING (u, v)
+""",
         "kg_triangles": _BASE_CTE + """
 , ent AS (
   SELECT conv_id, turn_idx, cust AS x, supp AS y FROM base

@@ -983,3 +983,45 @@ def match_motif(triples: DataFrame, motif: str) -> DataFrame:
                    .drop("_s", "_d"))
             bound.append(dst_var)
     return out.distinct()
+
+
+def ktruss(edges: DataFrame, k: int = 3, rounds: int = 2,
+           src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """k-truss peeling over the undirected simple graph: repeatedly drop
+    edges supported by fewer than k−2 triangles.  Returns the surviving
+    canonical edges (u < v) with their support after exactly ``rounds``
+    peels — the edge-level dense-backbone complement to :func:`kcore`'s
+    node-level peeling.
+
+    Fixed round count (SQL-replayable, like kcore); per round the edge
+    support is ONE wedge join — edge (u,v) matched against the symmetric
+    adjacency on both endpoints to count common neighbors — plus a
+    semi-join filter.  The surviving edge set only shrinks; each round
+    ends in a lazy lineage cut so rounds don't compose joins."""
+    from pyspark.storagelevel import StorageLevel
+    e = (edges
+         .select(F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+                 F.greatest(F.col(src_col), F.col(dst_col)).alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .distinct())
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    need = k - 2
+    sup = None
+    for _ in range(rounds):
+        und = e.unionAll(e.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+        uw = und.select(F.col("u").alias("_a"), F.col("v").alias("_w1"))
+        vw = und.select(F.col("u").alias("_b"), F.col("v").alias("_w2"))
+        sup = (e
+               .join(uw, e.u == F.col("_a"))
+               .join(vw, (e.v == F.col("_b"))
+                     & (F.col("_w1") == F.col("_w2")))
+               .groupBy("u", "v")
+               .agg(F.count(F.lit(1)).cast("long").alias("support")))
+        kept = sup.where(F.col("support") >= need).select("u", "v")
+        e = kept.localCheckpoint(eager=False)
+        sup = sup.localCheckpoint(eager=False)
+    if sup is None:  # rounds == 0
+        return e.withColumn("support", F.lit(0).cast("long"))
+    return (e.join(sup, ["u", "v"])
+            .select("u", "v", "support"))

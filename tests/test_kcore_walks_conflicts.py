@@ -258,3 +258,28 @@ def test_skipgram_negatives_filtered(spark):
     # determinism
     again = skipgram_negatives(pairs, n_neg=3).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ktruss_keeps_clique_drops_tail(spark):
+    from palladian_spark.graph import ktruss
+    # K4 clique (every edge in 2 triangles) + pendant chain d-e-f
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d")]
+    tail = [("d", "e"), ("e", "f")]
+    e = _edges(spark, k4 + tail)
+    got = {(r["u"], r["v"]): r["support"]
+           for r in ktruss(e, k=4, rounds=2).collect()}
+    assert set(got) == {tuple(sorted(p)) for p in k4}
+    assert all(s == 2 for s in got.values())
+    # k=3 keeps any edge in >= 1 triangle: the K4 edges survive, tail dies
+    got3 = {(r["u"], r["v"]) for r in ktruss(e, k=3, rounds=2).collect()}
+    assert got3 == {tuple(sorted(p)) for p in k4}
+
+
+def test_ktruss_round_by_round_peel(spark):
+    from palladian_spark.graph import ktruss
+    # triangle a-b-c plus an edge c-d that forms no triangle: one round
+    # removes c-d; the triangle is self-sustaining at k=3
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")])
+    one = {(r["u"], r["v"]) for r in ktruss(e, k=3, rounds=1).collect()}
+    assert one == {("a", "b"), ("b", "c"), ("a", "c")}
