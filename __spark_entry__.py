@@ -537,6 +537,31 @@ def _q_ngram_dice(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("dice_sim") >= 0.5))
 
 
+def _er_part_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return part.select(F.col("p_partkey").alias("rec_id"),
+                       F.col("p_name").alias("name"))
+
+
+def _q_er_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity-resolution matcher over the part-name surface
+    inventory (operators/entity_resolution.blocked_match_pairs): block on
+    the first normalized token, sound length-band prune, composite
+    0.5·Levenshtein + 0.5·char-3-gram-Dice score ≥ 0.7."""
+    from palladian_spark.operators.entity_resolution import blocked_match_pairs
+    return blocked_match_pairs(_er_part_records(spark, sf_dir),
+                               threshold=0.7)
+
+
+def _q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ER canonicalization: min-label connected components over the
+    ≥0.7 match graph; every record gets (canonical_id, cluster_size),
+    singletons canonicalize to themselves
+    (operators/entity_resolution.resolve_entities)."""
+    from palladian_spark.operators.entity_resolution import resolve_entities
+    return resolve_entities(_er_part_records(spark, sf_dir), threshold=0.7)
+
+
 def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures over 3-token shingles of documents (dedup
     building block): 4 hash seeds, md5-derived 32-bit values — engine-
@@ -1679,6 +1704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-round sweep: newest queries first, then the block that was
         # absent from the round-3 sample (incl. the two ANN queries with
         # full SQL-replay oracles since round 3 but no green driver row).
+        "er_match_pairs": _q_er_match_pairs,
+        "er_clusters": _q_er_clusters,
         "kg_kcore": _q_kg_kcore,
         "kg_walks": _q_kg_walks,
         "walk_skipgrams": _q_walk_skipgrams,
@@ -1801,6 +1828,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+# ER oracle: per-record profile (normalized name, first-token block,
+# '##'-padded distinct char-3-grams) and the raw blocked pair scores —
+# mirrors operators/entity_resolution._profiles / blocked_match_pairs
+# (similarities rounded only at output, matching the Spark column order).
+_ER_PAIRS_CTES = """er_g AS (
+  SELECT p_partkey AS id,
+         lower(trim(regexp_replace(p_name, '\\s+', ' ', 'g'))) AS lname
+  FROM part
+), er_gg AS (
+  SELECT id, lname, split_part(lname, ' ', 1) AS blk,
+         list_distinct([substr('##' || lname || '##', i, 3)
+                        for i in range(1, length(lname) + 3)]) AS grams
+  FROM er_g
+), er_p AS (
+  SELECT a.id AS a_id, b.id AS b_id,
+         1.0 - levenshtein(a.lname, b.lname)::DOUBLE
+             / greatest(length(a.lname), length(b.lname)) AS lev,
+         CASE WHEN a.lname = b.lname THEN 1.0
+              ELSE 2.0 * len(list_intersect(a.grams, b.grams))
+                   / (len(a.grams) + len(b.grams)) END AS dice
+  FROM er_gg a JOIN er_gg b ON a.blk = b.blk AND a.id < b.id
+)"""
+
+_ER_PAIRS_SQL = "WITH " + _ER_PAIRS_CTES + "\n"
 
 _BASE_CTE = """
 WITH base AS (
@@ -2603,6 +2655,35 @@ FROM cf_status GROUP BY lang
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "er_match_pairs": _ER_PAIRS_SQL + """
+SELECT a_id, b_id, round(lev, 6) AS lev_sim, round(dice, 6) AS dice_sim,
+       round(0.5 * lev + 0.5 * dice, 6) AS score
+FROM er_p WHERE round(0.5 * lev + 0.5 * dice, 6) >= 0.7
+""",
+        "er_clusters": "WITH RECURSIVE " + _ER_PAIRS_CTES + """,
+er_mp AS (
+  SELECT a_id, b_id FROM er_p
+  WHERE round(0.5 * lev + 0.5 * dice, 6) >= 0.7
+), er_e AS (
+  SELECT a_id AS u, b_id AS v FROM er_mp
+  UNION SELECT b_id, a_id FROM er_mp
+), er_nodes AS (SELECT DISTINCT u AS node FROM er_e),
+er_reach AS (
+  SELECT node AS u, node AS v FROM er_nodes
+  UNION
+  SELECT r.u, er_e.v FROM er_reach r JOIN er_e ON r.v = er_e.u
+), er_comp AS (
+  SELECT u AS node, min(v) AS component FROM er_reach GROUP BY u
+), er_lab AS (
+  SELECT er_g.id AS rec_id, coalesce(er_comp.component, er_g.id) AS canonical_id
+  FROM er_g LEFT JOIN er_comp ON er_g.id = er_comp.node
+), er_sz AS (
+  SELECT canonical_id, count(*) AS cluster_size
+  FROM er_lab GROUP BY canonical_id
+)
+SELECT er_lab.rec_id, er_lab.canonical_id, er_sz.cluster_size
+FROM er_lab JOIN er_sz USING (canonical_id)
+""",
         "kg_negative_samples": _BASE_CTE + """
 , t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
         FROM base

@@ -1,0 +1,101 @@
+"""Blocked ER matcher + clustering (operators/entity_resolution).
+
+Checks the composite scores against the pure-Python similarity toolkit
+(the golden-tested LevenshteinSimilarity / CharacterNGramSimilarity
+twins), the soundness of the length-band prune (blocked-pair results ==
+brute force within blocks), and the cluster/canonical-id semantics
+including singletons.
+"""
+
+import pytest
+
+from palladian_spark.operators.entity_resolution import (
+    blocked_match_pairs, resolve_entities,
+)
+from palladian_spark.textproc.similarity import (
+    char_ngram_similarity, levenshtein_similarity,
+)
+
+RECORDS = [
+    (1, "Acme Corporation"),
+    (2, "acme  corporation"),      # whitespace + case → exact after norm
+    (3, "Acme Corp"),              # near-dup, same block
+    (4, "Acme Holdings"),          # same block, weaker match
+    (5, "Globex Inc"),             # singleton block
+    (6, "Zeta Systems"),
+    (7, "Zeta Systms"),            # typo near-dup
+]
+
+
+def _norm(s: str) -> str:
+    return " ".join(s.split()).lower()
+
+
+def _expected_pairs(threshold: float):
+    """Brute-force within first-token blocks with the Python toolkit."""
+    out = {}
+    for i, (a_id, a_name) in enumerate(RECORDS):
+        for b_id, b_name in RECORDS[i + 1:]:
+            a, b = _norm(a_name), _norm(b_name)
+            if a.split(" ")[0] != b.split(" ")[0]:
+                continue
+            lev = levenshtein_similarity(a, b)
+            dice = 1.0 if a == b else char_ngram_similarity(a, b, 3, "dice")
+            score = round(0.5 * lev + 0.5 * dice, 6)
+            if score >= threshold:
+                lo, hi = min(a_id, b_id), max(a_id, b_id)
+                out[(lo, hi)] = score
+    return out
+
+
+@pytest.fixture(scope="module")
+def records_df(spark):
+    return spark.createDataFrame(RECORDS, "rec_id int, name string")
+
+
+def test_match_pairs_against_python_toolkit(spark, records_df):
+    got = {(r["a_id"], r["b_id"]): r["score"]
+           for r in blocked_match_pairs(records_df, threshold=0.5).collect()}
+    want = _expected_pairs(0.5)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    # exact-after-normalization pair scores 1.0
+    assert got[(1, 2)] == pytest.approx(1.0)
+
+
+def test_band_prune_is_sound(spark, records_df):
+    """The length band never removes a pair the exact filter keeps: the
+    thresholded result equals brute force at every tested threshold."""
+    for thr in (0.3, 0.5, 0.7, 0.9):
+        got = {(r["a_id"], r["b_id"])
+               for r in blocked_match_pairs(records_df,
+                                            threshold=thr).collect()}
+        assert got == set(_expected_pairs(thr))
+
+
+def test_resolve_entities_clusters_and_singletons(spark, records_df):
+    rows = {r["rec_id"]: (r["canonical_id"], r["cluster_size"])
+            for r in resolve_entities(records_df, threshold=0.5).collect()}
+    assert len(rows) == len(RECORDS)          # one row per record
+    # {1,2,3} cluster via Acme block matches ≥ 0.5; "Acme Holdings"
+    # shares the block but scores below threshold → its own cluster
+    assert rows[1] == (1, 3)
+    assert rows[2] == (1, 3)
+    assert rows[3] == (1, 3)
+    assert rows[4] == (4, 1)
+    # Globex is a singleton: canonicalizes to itself, size 1
+    assert rows[5] == (5, 1)
+    # Zeta typo pair clusters together
+    assert rows[6] == (6, 2)
+    assert rows[7] == (6, 2)
+
+
+def test_block_col_refines_blocking(spark):
+    df = spark.createDataFrame(
+        [(1, "Acme Corp", "US"), (2, "Acme Corp", "DE")],
+        "rec_id int, name string, country string")
+    # same name but different refined block → no candidate pair
+    assert blocked_match_pairs(df, block_col="country",
+                               threshold=0.5).count() == 0
+    assert blocked_match_pairs(df, threshold=0.5).count() == 1
