@@ -1317,6 +1317,18 @@ def _q_kg_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
                   src_col="u", dst_col="v")
 
 
+def _q_kg_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irreflexive transitive closure of the entity graph with min hop
+    distance (graph.transitive_closure, path-doubling — O(log diameter)
+    rounds): the reachability/hierarchy-reasoning op a KG consumer runs
+    over chain predicates (here works_for∘located_in gives the dist-2
+    cust→nation pairs next to the dist-1 edges)."""
+    from palladian_spark.graph import transitive_closure
+    e = (_q_triples(spark, sf_dir)
+         .select(F.col("subj").alias("src"), F.col("obj").alias("dst")))
+    return transitive_closure(e, max_rounds=4)
+
+
 def _q_kg_motif_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path-pattern query surface (graph.match_motif): every
     (a)-[works_for]->(b)-[located_in]->(c) instance in the KG."""
@@ -1706,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full SQL-replay oracles since round 3 but no green driver row).
         "er_match_pairs": _q_er_match_pairs,
         "er_clusters": _q_er_clusters,
+        "kg_closure": _q_kg_closure,
         "kg_kcore": _q_kg_kcore,
         "kg_walks": _q_kg_walks,
         "walk_skipgrams": _q_walk_skipgrams,
@@ -1854,8 +1867,9 @@ _ER_PAIRS_CTES = """er_g AS (
 
 _ER_PAIRS_SQL = "WITH " + _ER_PAIRS_CTES + "\n"
 
-_BASE_CTE = """
-WITH base AS (
+#: body of the transcript-derivation CTE (no WITH keyword, so recursive
+#: oracles can prepend WITH RECURSIVE)
+_BASE_BODY = """base AS (
   SELECT 'conv-' || CAST(l.l_orderkey AS VARCHAR) AS conv_id,
          CAST(l.l_linenumber AS INT) AS turn_idx,
          'Customer C' || CAST(o.o_custkey AS VARCHAR) AS cust,
@@ -1866,6 +1880,8 @@ WITH base AS (
   JOIN supplier s ON l.l_suppkey  = s.s_suppkey
 )
 """
+
+_BASE_CTE = "\nWITH " + _BASE_BODY
 
 #: _BASE_CTE plus per-turn timestamps and the deduplicated,
 #: observation-level triple stream (triples × distinct turn timestamps —
@@ -2683,6 +2699,21 @@ er_reach AS (
 )
 SELECT er_lab.rec_id, er_lab.canonical_id, er_sz.cluster_size
 FROM er_lab JOIN er_sz USING (canonical_id)
+""",
+        "kg_closure": "WITH RECURSIVE " + _BASE_BODY + """
+, t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
+        FROM base
+        UNION SELECT DISTINCT supp, 'located_in', nat FROM base),
+cl_e AS (SELECT DISTINCT subj AS u, obj AS v FROM t WHERE subj <> obj),
+cl_reach(u, v, dist) AS (
+  SELECT u, v, 1 FROM cl_e
+  UNION ALL
+  SELECT r.u, cl_e.v, r.dist + 1
+  FROM cl_reach r JOIN cl_e ON r.v = cl_e.u
+  WHERE r.u <> cl_e.v AND r.dist < 8
+)
+SELECT u AS src, v AS dst, CAST(min(dist) AS INT) AS dist
+FROM cl_reach GROUP BY u, v
 """,
         "kg_negative_samples": _BASE_CTE + """
 , t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj

@@ -1025,3 +1025,56 @@ def ktruss(edges: DataFrame, k: int = 3, rounds: int = 2,
         return e.withColumn("support", F.lit(0).cast("long"))
     return (e.join(sup, ["u", "v"])
             .select("u", "v", "support"))
+
+
+def transitive_closure(edges: DataFrame, src_col: str = "src",
+                       dst_col: str = "dst", max_rounds: int = 16,
+                       checkpoint_dir: str | None = None) -> DataFrame:
+    """Irreflexive transitive closure with min hop distance:
+    (src, dst, dist) for every pair with a directed path, dist ≥ 1.
+
+    Path doubling: round k holds every shortest path of ≤ 2^k edges, so
+    convergence takes O(log diameter) rounds — each one self-join +
+    min-agg — instead of the O(diameter) of single-step expansion.  The
+    fixpoint test reads (pair count, Σdist) in ONE agg action per round;
+    both are monotone (pairs only appear, dists only shrink), so equality
+    means converged.
+
+    Scale note: a closure is |reachable pairs|-sized — quadratic on dense
+    graphs.  The intended 100 TB use is hierarchical predicate subgraphs
+    (isA / part-of chains, org trees), where the closure is a small
+    multiple of the input; run it on the filtered predicate slice, not
+    the whole KG.  ``checkpoint_dir`` makes long runs executor-loss-safe
+    (see _lineage_cut).
+    """
+    from pyspark.storagelevel import StorageLevel
+    e = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+         .where(F.col("src") != F.col("dst")).distinct()
+         .withColumn("dist", F.lit(1).cast("int")))
+    paths = e.persist(StorageLevel.MEMORY_AND_DISK)
+    prev = None
+    for _ in range(max_rounds):
+        a = paths.select(F.col("src"), F.col("dst").alias("_mid"),
+                         F.col("dist").alias("_d1"))
+        b = paths.select(F.col("src").alias("_mid"),
+                         F.col("dst").alias("_dst2"),
+                         F.col("dist").alias("_d2"))
+        doubled = (a.join(b, "_mid")
+                   .where(F.col("src") != F.col("_dst2"))
+                   .select("src", F.col("_dst2").alias("dst"),
+                           (F.col("_d1") + F.col("_d2")).alias("dist")))
+        new = (paths.select("src", "dst", "dist").union(doubled)
+               .groupBy("src", "dst")
+               .agg(F.min("dist").cast("int").alias("dist")))
+        new = _lineage_cut(new, checkpoint_dir, eager=False)
+        stats = new.agg(F.count(F.lit(1)).alias("n"),
+                        F.sum("dist").alias("s")).first()
+        cur = (stats["n"], stats["s"])
+        paths = new
+        if cur == prev:
+            break
+        prev = cur
+    # the final paths are checkpoint-materialized by the last stats
+    # action, so the seed-edge cache can be released eagerly
+    e.unpersist()
+    return paths.select("src", "dst", "dist")
