@@ -1423,6 +1423,34 @@ def _q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_iter=2)
 
 
+def _q_kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community quality: Newman modularity terms per label-propagation
+    community (graph.modularity) — q_term = L_c/m − (D_c/2m)², summing
+    to the assignment's Q."""
+    from pyspark.storagelevel import StorageLevel
+
+    from palladian_spark.graph import label_propagation, modularity
+    # persist: LPA and the modularity aggregation both consume the edge
+    # set — without it the NER kernel re-runs per branch
+    e = (_q_triples(spark, sf_dir)
+         .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    return modularity(e, label_propagation(e, n_iter=2))
+
+
+def _q_kg_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community-contracted coarse graph (graph.quotient_graph): every
+    undirected entity edge mapped to its label-propagation endpoint
+    communities and counted; self-loops carry internal-edge weight."""
+    from pyspark.storagelevel import StorageLevel
+
+    from palladian_spark.graph import label_propagation, quotient_graph
+    e = (_q_triples(spark, sf_dir)
+         .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    return quotient_graph(e, label_propagation(e, n_iter=2))
+
+
 def _q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG maintenance diff: the constructed KG restricted to turns ≤ 3
     (the 'previous snapshot') vs the full KG — added/changed/unchanged
@@ -1719,6 +1747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_match_pairs": _q_er_match_pairs,
         "er_clusters": _q_er_clusters,
         "kg_closure": _q_kg_closure,
+        "kg_modularity": _q_kg_modularity,
+        "kg_quotient": _q_kg_quotient,
         "kg_kcore": _q_kg_kcore,
         "kg_walks": _q_kg_walks,
         "walk_skipgrams": _q_walk_skipgrams,
@@ -1882,6 +1912,30 @@ _BASE_BODY = """base AS (
 """
 
 _BASE_CTE = "\nWITH " + _BASE_BODY
+
+#: replay of graph.label_propagation(n_iter=2) over the entity graph —
+#: final labels exposed as `lpa`, the symmetric neighbor set as `nbr`,
+#: the distinct directed edge set as `e` (shared by the communities /
+#: modularity / quotient oracles).
+_LPA_CTES = _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
+        FROM base
+        UNION SELECT DISTINCT supp, 'located_in', nat FROM base),
+e AS (SELECT DISTINCT subj AS u, obj AS v FROM t WHERE subj <> obj),
+nbr AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+v1 AS (SELECT u AS node, v AS label, count(*) AS n
+       FROM nbr GROUP BY u, v),
+l1 AS (SELECT node, label FROM (
+         SELECT node, label, row_number() OVER (
+           PARTITION BY node ORDER BY n DESC, label ASC) AS rn FROM v1)
+       WHERE rn = 1),
+v2 AS (SELECT nbr.u AS node, l1.label, count(*) AS n
+       FROM nbr JOIN l1 ON nbr.v = l1.node GROUP BY 1, 2),
+lpa AS (SELECT node, label FROM (
+          SELECT node, label, row_number() OVER (
+            PARTITION BY node ORDER BY n DESC, label ASC) AS rn FROM v2)
+        WHERE rn = 1)
+"""
 
 #: _BASE_CTE plus per-turn timestamps and the deduplicated,
 #: observation-level triple stream (triples × distinct turn timestamps —
@@ -3092,24 +3146,39 @@ SELECT conv_id, entity, n_mentions, df,
        round(n_mentions * ln(CAST(n AS DOUBLE) / df), 6) AS salience
 FROM pc JOIN dfv USING (entity) CROSS JOIN nc
 """,
-        "kg_communities": _BASE_CTE + """
-, t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
-        FROM base
-        UNION SELECT DISTINCT supp, 'located_in', nat FROM base),
-e AS (SELECT DISTINCT subj AS u, obj AS v FROM t WHERE subj <> obj),
-nbr AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
-v1 AS (SELECT u AS node, v AS label, count(*) AS n
-       FROM nbr GROUP BY u, v),
-l1 AS (SELECT node, label FROM (
-         SELECT node, label, row_number() OVER (
-           PARTITION BY node ORDER BY n DESC, label ASC) AS rn FROM v1)
-       WHERE rn = 1),
-v2 AS (SELECT nbr.u AS node, l1.label, count(*) AS n
-       FROM nbr JOIN l1 ON nbr.v = l1.node GROUP BY 1, 2)
-SELECT node, label FROM (
-  SELECT node, label, row_number() OVER (
-    PARTITION BY node ORDER BY n DESC, label ASC) AS rn FROM v2)
-WHERE rn = 1
+        "kg_communities": _LPA_CTES + """
+SELECT node, label FROM lpa
+""",
+        "kg_modularity": _LPA_CTES + """
+, ce AS (SELECT DISTINCT least(u, v) AS cu, greatest(u, v) AS cv FROM e),
+mm AS (SELECT count(*) AS m FROM ce),
+el AS (SELECT la.label AS lu, lb.label AS lv
+       FROM ce JOIN lpa la ON ce.cu = la.node
+               JOIN lpa lb ON ce.cv = lb.node),
+intra AS (SELECT lu AS community, count(*) AS internal_edges
+          FROM el WHERE lu = lv GROUP BY lu),
+deg AS (SELECT node, count(*) AS d
+        FROM (SELECT cu AS node FROM ce UNION ALL SELECT cv FROM ce)
+        GROUP BY node),
+cd AS (SELECT lpa.label AS community, count(*) AS n_nodes,
+              CAST(sum(deg.d) AS BIGINT) AS degree_sum
+       FROM lpa JOIN deg ON lpa.node = deg.node GROUP BY lpa.label)
+SELECT cd.community, cd.n_nodes,
+       coalesce(intra.internal_edges, 0) AS internal_edges,
+       cd.degree_sum,
+       round(CAST(coalesce(intra.internal_edges, 0) AS DOUBLE) / mm.m
+             - (CAST(cd.degree_sum AS DOUBLE) / (2.0 * mm.m))
+               * (CAST(cd.degree_sum AS DOUBLE) / (2.0 * mm.m)), 6)
+         + 0.0 AS q_term
+FROM cd LEFT JOIN intra ON cd.community = intra.community, mm
+""",
+        "kg_quotient": _LPA_CTES + """
+, ce AS (SELECT DISTINCT least(u, v) AS cu, greatest(u, v) AS cv FROM e),
+ql AS (SELECT least(la.label, lb.label) AS c_u,
+              greatest(la.label, lb.label) AS c_v
+       FROM ce JOIN lpa la ON ce.cu = la.node
+               JOIN lpa lb ON ce.cv = lb.node)
+SELECT c_u, c_v, count(*) AS weight FROM ql GROUP BY c_u, c_v
 """,
         "kg_hits": _BASE_CTE + """
 , t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj

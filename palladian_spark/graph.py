@@ -1078,3 +1078,77 @@ def transitive_closure(edges: DataFrame, src_col: str = "src",
     # action, so the seed-edge cache can be released eagerly
     e.unpersist()
     return paths.select("src", "dst", "dist")
+
+
+def _canonical_undirected(edges: DataFrame, src_col: str,
+                          dst_col: str) -> DataFrame:
+    """Distinct undirected simple edges as (cu, cv) with cu < cv."""
+    return (edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("cu"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("cv"))
+        .where(F.col("cu") != F.col("cv")).distinct())
+
+
+def modularity(edges: DataFrame, labels: DataFrame,
+               src_col: str = "src", dst_col: str = "dst",
+               node_col: str = "node",
+               label_col: str = "label") -> DataFrame:
+    """Newman modularity terms per community over the undirected simple
+    graph: q_term = L_c/m − (D_c/2m)², so Q = Σ q_term — the standard
+    quality score for a community assignment (e.g. label_propagation
+    output).  Returns (community, n_nodes, internal_edges, degree_sum,
+    q_term).
+
+    All heavy steps are hash aggs on node/edge keys; m is a one-row agg
+    broadcast into the final projection (no driver round-trip)."""
+    ce = _canonical_undirected(edges, src_col, dst_col)
+    lab = labels.select(F.col(node_col).alias("node"),
+                        F.col(label_col).alias("label"))
+    m_df = ce.agg(F.count(F.lit(1)).alias("m"))
+
+    la = lab.select(F.col("node").alias("cu"), F.col("label").alias("lu"))
+    lb = lab.select(F.col("node").alias("cv"), F.col("label").alias("lv"))
+    el = ce.join(la, "cu").join(lb, "cv")
+    intra = (el.where(F.col("lu") == F.col("lv"))
+             .groupBy(F.col("lu").alias("community"))
+             .agg(F.count(F.lit(1)).cast("long").alias("internal_edges")))
+
+    deg = (ce.select(F.col("cu").alias("node"))
+           .unionAll(ce.select(F.col("cv").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    cd = (lab.join(deg, "node")
+          .groupBy(F.col("label").alias("community"))
+          .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+               F.sum("d").cast("long").alias("degree_sum")))
+
+    out = (cd.join(intra, "community", "left")
+           .withColumn("internal_edges",
+                       F.coalesce("internal_edges", F.lit(0)).cast("long"))
+           .crossJoin(F.broadcast(m_df)))
+    half = F.col("degree_sum").cast("double") / (2.0 * F.col("m"))
+    # + 0.0 normalizes IEEE −0.0 to +0.0 after rounding (engines differ)
+    q = F.round(F.col("internal_edges").cast("double") / F.col("m")
+                - half * half, 6) + F.lit(0.0)
+    return out.select("community", "n_nodes", "internal_edges",
+                      "degree_sum", q.alias("q_term"))
+
+
+def quotient_graph(edges: DataFrame, labels: DataFrame,
+                   src_col: str = "src", dst_col: str = "dst",
+                   node_col: str = "node",
+                   label_col: str = "label") -> DataFrame:
+    """Community-contracted coarse graph: every undirected simple edge
+    mapped to its endpoint communities, counted.  Self-loop rows
+    (c_u == c_v) carry the internal-edge weight, so the quotient + the
+    node labels reconstruct the community-level structure exactly.
+    Returns (c_u, c_v, weight) with c_u ≤ c_v."""
+    ce = _canonical_undirected(edges, src_col, dst_col)
+    lab = labels.select(F.col(node_col).alias("node"),
+                        F.col(label_col).alias("label"))
+    la = lab.select(F.col("node").alias("cu"), F.col("label").alias("lu"))
+    lb = lab.select(F.col("node").alias("cv"), F.col("label").alias("lv"))
+    return (ce.join(la, "cu").join(lb, "cv")
+            .select(F.least("lu", "lv").alias("c_u"),
+                    F.greatest("lu", "lv").alias("c_v"))
+            .groupBy("c_u", "c_v")
+            .agg(F.count(F.lit(1)).cast("long").alias("weight")))
