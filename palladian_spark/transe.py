@@ -203,3 +203,82 @@ def link_prediction_ranks(model: TransEModel,
         energies = (d * d).sum(axis=1)
         ranks.append(int((energies < energies[o]).sum()) + 1)
     return np.array(ranks)
+
+
+def link_prediction_ranks_df(model: TransEModel, test: DataFrame,
+                             known: Optional[DataFrame] = None,
+                             batch_size: int = 256) -> DataFrame:
+    """Distributed FILTERED tail ranking — the standard KG-embedding
+    evaluation protocol (Bordes et al., NIPS'13): for each test
+    (s_idx, p_idx, o_idx), rank the true tail among all entities by
+    energy, after masking every OTHER tail known true for (s, p) in
+    ``known`` (pass None for raw/unfiltered ranks).
+
+    Shape: the model is broadcast (entities × dim — model-sized by the
+    trainer's regime); known tails arrive pre-grouped as one array per
+    (s, p) via a hash agg + join, so each Arrow batch scores b×n
+    energies with one matmul (‖h+r‖² + ‖t‖² − 2(h+r)·t) and never
+    materializes b×n×d.  Rank = 1 + #strictly-lower energies
+    (optimistic tie handling, deterministic).  Output:
+    (s_idx, p_idx, o_idx, rank).
+    """
+    spark = test.sparkSession
+    t = test.select(F.col("s_idx").cast("long"),
+                    F.col("p_idx").cast("long"),
+                    F.col("o_idx").cast("long"))
+    if known is not None:
+        kl = (known.select(F.col("s_idx").cast("long"),
+                           F.col("p_idx").cast("long"),
+                           F.col("o_idx").cast("long"))
+              .groupBy("s_idx", "p_idx")
+              .agg(F.collect_set("o_idx").alias("known_tails")))
+        t = t.join(kl, ["s_idx", "p_idx"], "left")
+    else:
+        t = t.withColumn("known_tails",
+                         F.lit(None).cast("array<long>"))
+
+    ent_bc = spark.sparkContext.broadcast(model.entities)
+    rel_bc = spark.sparkContext.broadcast(model.relations)
+
+    def rank_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        E, R = ent_bc.value, rel_bc.value
+        e2 = (E * E).sum(axis=1)
+        for pdf in it:
+            for lo in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[lo:lo + batch_size]
+                s = chunk["s_idx"].to_numpy()
+                p = chunk["p_idx"].to_numpy()
+                o = chunk["o_idx"].to_numpy()
+                d = E[s] + R[p]                       # (b, dim)
+                en = ((d * d).sum(axis=1)[:, None] + e2[None, :]
+                      - 2.0 * d @ E.T)                # (b, n)
+                true_en = en[np.arange(len(chunk)), o]
+                for i, tails in enumerate(chunk["known_tails"]):
+                    if tails is None:
+                        continue
+                    mask = np.asarray(list(tails), dtype=np.int64)
+                    mask = mask[mask != o[i]]
+                    en[i, mask] = np.inf
+                rank = (en < true_en[:, None]).sum(axis=1) + 1
+                yield pd.DataFrame({"s_idx": s, "p_idx": p, "o_idx": o,
+                                    "rank": rank.astype(np.int64)})
+
+    return t.mapInPandas(rank_batch,
+                         "s_idx long, p_idx long, o_idx long, rank long")
+
+
+def evaluate_link_prediction(model: TransEModel, test: DataFrame,
+                             known: Optional[DataFrame] = None,
+                             ks: Tuple[int, ...] = (1, 3, 10)) -> dict:
+    """Aggregate filtered-ranking metrics: mean rank, MRR, hits@k.
+    One agg over the distributed rank table; returns a plain dict
+    (model-evaluation scalars, not a contract query — float model)."""
+    ranks = link_prediction_ranks_df(model, test, known)
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.avg("rank").alias("mean_rank"),
+            F.avg(1.0 / F.col("rank")).alias("mrr")]
+    for k in ks:
+        aggs.append(F.avg((F.col("rank") <= k).cast("double"))
+                    .alias(f"hits_at_{k}"))
+    row = ranks.agg(*aggs).first()
+    return {c: row[c] for c in row.asDict()}
