@@ -76,6 +76,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "dedup_incremental",
         "curate_corpus_full",
         "simhash_neardup",
+        # round-4 second window: distinct-name-collapsed blocked ER
+        "er_match_pairs",
+        "er_clusters",
     ]
     queries = entrymod.queries()
     for name in headline:
