@@ -109,7 +109,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     from pyspark.sql import functions as F
     from palladian_spark.graph import (hits, kcore, kg_degrees,
                                        kg_snapshot_diff, kg_triangles,
-                                       pagerank, random_walks)
+                                       label_propagation, modularity,
+                                       pagerank, random_walks,
+                                       transitive_closure)
     from palladian_spark.operators.kg_training import walk_skipgrams
     t0 = time.time()
     triples = queries["kg_triples"](spark, sf_dir).cache()
@@ -148,6 +150,15 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             triples.select(F.col("subj").alias("src"),
                            F.col("obj").alias("dst")),
             walk_len=2, seed=7, id_strategy="hash"), window=2)),
+        ("kg_closure", lambda: transitive_closure(
+            triples.select(F.col("subj").alias("src"),
+                           F.col("obj").alias("dst")), max_rounds=4)),
+        ("kg_modularity", lambda: modularity(
+            triples.select(F.col("subj").alias("src"),
+                           F.col("obj").alias("dst")),
+            label_propagation(
+                triples.select(F.col("subj").alias("src"),
+                               F.col("obj").alias("dst")), n_iter=2))),
     ]:
         best = None
         for _ in range(2):
