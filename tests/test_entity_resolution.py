@@ -99,3 +99,45 @@ def test_block_col_refines_blocking(spark):
     assert blocked_match_pairs(df, block_col="country",
                                threshold=0.5).count() == 0
     assert blocked_match_pairs(df, threshold=0.5).count() == 1
+
+
+def test_distinct_name_collapse_equals_record_level_bruteforce(spark):
+    """The name-inventory collapse (exact tier + fuzzy-tier expansion)
+    must equal naive record-level pairing: random duplicate-heavy
+    records, every threshold."""
+    import random
+    rng = random.Random(11)
+    base = ["Acme Corp", "Acme Corporation", "Acme  corp", "Globex Inc",
+            "Globex Incorporated", "Zeta Systems", "Zeta Systms",
+            "Initech LLC"]
+    recs = [(i, rng.choice(base)) for i in range(1, 41)]
+    df = spark.createDataFrame(recs, "rec_id int, name string")
+
+    def brute(threshold):
+        out = set()
+        for i, (a_id, a_name) in enumerate(recs):
+            for b_id, b_name in recs[i + 1:]:
+                a, b = _norm(a_name), _norm(b_name)
+                if a.split(" ")[0] != b.split(" ")[0]:
+                    continue
+                lev = levenshtein_similarity(a, b)
+                dice = (1.0 if a == b
+                        else char_ngram_similarity(a, b, 3, "dice"))
+                if round(0.5 * lev + 0.5 * dice, 6) >= threshold:
+                    out.add((min(a_id, b_id), max(a_id, b_id)))
+        return out
+
+    for thr in (0.5, 0.8, 1.0):
+        got = {(r["a_id"], r["b_id"])
+               for r in blocked_match_pairs(df, threshold=thr).collect()}
+        assert got == brute(thr), f"threshold {thr}"
+
+    # clusters: canonical = min rec_id reachable, sizes partition the set
+    rows = resolve_entities(df, threshold=0.5).collect()
+    assert len(rows) == len(recs)
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r["canonical_id"], []).append(r)
+    for canon, members in by_canon.items():
+        assert min(m["rec_id"] for m in members) == canon
+        assert all(m["cluster_size"] == len(members) for m in members)
