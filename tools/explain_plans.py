@@ -78,6 +78,12 @@ INSPECT = [
     ("fact_conflicts", True),   # distinct obs + windowed self-join
     ("conv_graph_stats", True),  # two aggs + join on conv_id
     ("kg_role_provenance", True),  # join back to (conv, turn, role)
+    # round-4 third window: ER + closure + community quality
+    ("er_match_pairs", False),   # distinct-name inventory self-join
+    ("er_clusters", False),      # name-level components + group agg
+    ("kg_closure", False),       # localCheckpoint truncates Arrow input
+    ("kg_modularity", True),     # LPA labels + edge aggs, Catalyst
+    ("kg_quotient", True),       # label joins + one hash agg
 ]
 
 PY_NODE_RE = re.compile(
