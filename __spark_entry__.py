@@ -1135,6 +1135,44 @@ def _q_entity_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_timeline(_kg_observations(spark, sf_dir))
 
 
+#: Point-in-time instant for the kg_as_of contract query — mid-corpus
+#: (TPC-H shipdates span 1992–1998); the SAME literal appears in the
+#: oracle SQL.
+_AS_OF_TS = "1995-06-17 00:00:00"
+
+
+def _q_kg_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time KG: the facts whose SCD2 validity interval covers
+    the fixed mid-corpus instant (kg_temporal.facts_as_of)."""
+    from palladian_spark.operators.kg_temporal import facts_as_of
+    return facts_as_of(_kg_observations(spark, sf_dir), _AS_OF_TS)
+
+
+def _q_kg_top_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity summarization: the 3 best-supported facts per subject with
+    a deterministic rank (kg_temporal.top_facts)."""
+    from palladian_spark.operators.kg_temporal import top_facts
+    return top_facts(_kg_observations(spark, sf_dir), k=3)
+
+
+def _q_kg_degrees_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG maintenance: degrees of the pre-1996 snapshot
+    updated with the snapshot diff against the full graph
+    (graph.apply_degree_delta over graph.kg_snapshot_diff) — the oracle
+    computes the full-graph degrees directly, pinning the incremental
+    path to the recompute."""
+    from palladian_spark.graph import (kg_degrees, kg_snapshot_diff,
+                                       apply_degree_delta)
+    obs = _kg_observations(spark, sf_dir)
+    new = obs.select("subj", "pred", "obj").distinct()
+    old = (obs.where(F.col("ts") < F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+           .select("subj", "pred", "obj").distinct())
+    diff = kg_snapshot_diff(old, new)
+    return (apply_degree_delta(kg_degrees(old), diff)
+            .select("node", F.col("out_degree").cast("long").alias("out_degree"),
+                    F.col("in_degree").cast("long").alias("in_degree")))
+
+
 def _q_schema_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Instance-driven schema induction: per (pred, subj_type, obj_type)
     support and within-predicate fraction (type = first surface token)."""
@@ -1783,6 +1821,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_summary": _q_kg_summary,
         "fact_transitions": _q_fact_transitions,
         "entity_timeline": _q_entity_timeline,
+        "kg_as_of": _q_kg_as_of,
+        "kg_top_facts": _q_kg_top_facts,
+        "kg_degrees_incremental": _q_kg_degrees_incremental,
         "schema_induction": _q_schema_induction,
         "export_ntriples": _q_export_ntriples,
         "canonicalize_surfaces": _q_canonicalize_surfaces,
@@ -3266,6 +3307,48 @@ SELECT subj, pred, obj, valid_from,
                                ORDER BY valid_from, conv_id, turn_idx, obj)
             AS INT) AS version
 FROM chg
+""",
+        "kg_as_of": _TS_BASE_CTE + """
+ord AS (SELECT subj, pred, obj, ts, conv_id, turn_idx,
+               lag(obj) OVER (PARTITION BY subj, pred
+                              ORDER BY ts, conv_id, turn_idx, obj) AS prev
+        FROM obs),
+chg AS (SELECT subj, pred, obj, ts AS valid_from, conv_id, turn_idx
+        FROM ord WHERE prev IS NULL OR prev <> obj),
+hist AS (SELECT subj, pred, obj, valid_from,
+                lead(valid_from) OVER (PARTITION BY subj, pred
+                                       ORDER BY valid_from, conv_id,
+                                                turn_idx, obj) AS valid_to,
+                CAST(row_number() OVER (PARTITION BY subj, pred
+                                        ORDER BY valid_from, conv_id,
+                                                 turn_idx, obj)
+                     AS INT) AS version
+         FROM chg)
+SELECT subj, pred, obj, valid_from, version
+FROM hist
+WHERE valid_from <= TIMESTAMP '1995-06-17 00:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1995-06-17 00:00:00')
+""",
+        "kg_top_facts": _TS_BASE_CTE + """
+ev AS (SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS support,
+              min(ts) AS first_ts
+       FROM obs GROUP BY 1, 2, 3)
+SELECT subj, pred, obj, support, first_ts,
+       CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY subj
+                                   ORDER BY support DESC, pred, obj,
+                                            first_ts) AS rank
+      FROM ev) r
+WHERE rank <= 3
+""",
+        "kg_degrees_incremental": _TS_BASE_CTE + """
+t AS (SELECT DISTINCT subj, pred, obj FROM obs),
+o AS (SELECT subj AS node, count(*) od FROM t GROUP BY 1),
+i AS (SELECT obj AS node, count(*) idg FROM t GROUP BY 1)
+SELECT COALESCE(o.node, i.node) AS node,
+       CAST(COALESCE(od, 0) AS BIGINT) AS out_degree,
+       CAST(COALESCE(idg, 0) AS BIGINT) AS in_degree
+FROM o FULL JOIN i ON o.node = i.node
 """,
         "entity_timeline": _TS_BASE_CTE + """
 roles AS (SELECT subj AS entity, conv_id, ts, 1 AS is_subj FROM obs

@@ -503,6 +503,47 @@ def kg_snapshot_diff(old_triples: DataFrame,
         F.coalesce("new_evidence", F.lit(0)).alias("new_evidence"))
 
 
+def apply_degree_delta(base_degrees: DataFrame,
+                       diff: DataFrame) -> DataFrame:
+    """Incremental KG maintenance: update a degree profile with a
+    snapshot diff instead of recomputing over the full graph.
+
+    ``base_degrees`` is kg_degrees(old snapshot); ``diff`` is
+    kg_snapshot_diff(old, new).  Only ``added`` / ``removed`` edges
+    change distinct-edge degrees (``changed`` is evidence drift on an
+    edge present in both snapshots), so the update touches O(|diff|)
+    rows: explode each flipped edge into its two endpoint contributions,
+    aggregate, full-outer-merge with the base, and drop nodes that fall
+    to (0, 0).  Equivalent to kg_degrees(new) — pinned by the
+    kg_degrees_incremental oracle.
+
+    Scale: at 10^12 turns the full degree recompute is a scan of every
+    triple ever emitted; the delta path scans only the day's diff —
+    the base profile joins on its primary key and stays partitioned.
+    """
+    sign = (F.when(F.col("status") == "added", F.lit(1))
+            .when(F.col("status") == "removed", F.lit(-1)))
+    flips = (diff.where(F.col("status").isin("added", "removed"))
+             .select("subj", "obj", sign.alias("d")))
+    contrib = (flips.select(F.col("subj").alias("node"),
+                            F.col("d").alias("d_out"),
+                            F.lit(0).alias("d_in"))
+               .unionAll(flips.select(F.col("obj").alias("node"),
+                                      F.lit(0).alias("d_out"),
+                                      F.col("d").alias("d_in")))
+               .groupBy("node")
+               .agg(F.sum("d_out").alias("d_out"),
+                    F.sum("d_in").alias("d_in")))
+    merged = (base_degrees.join(contrib, "node", "full_outer")
+              .select(
+                  "node",
+                  (F.coalesce("out_degree", F.lit(0))
+                   + F.coalesce("d_out", F.lit(0))).alias("out_degree"),
+                  (F.coalesce("in_degree", F.lit(0))
+                   + F.coalesce("d_in", F.lit(0))).alias("in_degree")))
+    return merged.where((F.col("out_degree") > 0) | (F.col("in_degree") > 0))
+
+
 def kg_summary(triples: DataFrame) -> DataFrame:
     """One-row structural summary of the KG over DISTINCT edges:
     (n_nodes, n_edges, n_predicates, max_out_degree, max_in_degree,

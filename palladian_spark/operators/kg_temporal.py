@@ -102,3 +102,48 @@ def conflicting_observations(observations: DataFrame,
             .groupBy("subj", "pred", "obj_a", "obj_b")
             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
                  F.min(gap).cast("long").alias("min_gap_s")))
+
+def facts_as_of(observations: DataFrame, as_of) -> DataFrame:
+    """Point-in-time KG reconstruction: the facts valid at ``as_of``
+    according to the SCD2 history (fact_transitions) — one row per
+    (subj, pred) whose interval covers the instant
+    (valid_from <= as_of < valid_to, open current fact included).
+
+    ``as_of`` is a timestamp literal (datetime or ISO string).  Output:
+    (subj, pred, obj, valid_from, version).
+
+    Scale: the history build is the fact_transitions shuffle; the as-of
+    filter is a plain predicate on the versioned table — at 100 TB the
+    history is materialized once and every as-of query is a pruned scan
+    (partition the history table by valid_from month for that).
+    """
+    hist = fact_transitions(observations)
+    ts = F.to_timestamp(F.lit(str(as_of)))
+    return (hist
+            .where((F.col("valid_from") <= ts)
+                   & (F.col("valid_to").isNull() | (F.col("valid_to") > ts)))
+            .select("subj", "pred", "obj", "valid_from", "version"))
+
+
+def top_facts(observations: DataFrame, k: int = 3) -> DataFrame:
+    """Entity summarization: the k best-supported facts per subject.
+
+    Support = distinct-observation count per (subj, pred, obj); ranking
+    is deterministic (support desc, pred asc, obj asc, earliest ts asc).
+    Output: (subj, pred, obj, support, first_ts, rank) with rank <= k.
+
+    Shape: one map-side-combinable evidence agg on the triple key, then
+    a row_number window partitioned by subj — per-subject state is that
+    entity's distinct fact list (vocabulary-sized), so hot entities are
+    the same skew the evidence agg already absorbs.  No collects.
+    """
+    obs = observations.select(*_OBS_COLS).distinct()
+    ev = (obs.groupBy("subj", "pred", "obj")
+          .agg(F.count(F.lit(1)).cast("long").alias("support"),
+               F.min("ts").alias("first_ts")))
+    w = Window.partitionBy("subj").orderBy(
+        F.col("support").desc(), F.col("pred").asc(), F.col("obj").asc(),
+        F.col("first_ts").asc())
+    return (ev.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k))
+            .select("subj", "pred", "obj", "support", "first_ts", "rank"))

@@ -1,0 +1,98 @@
+"""Point-in-time KG (facts_as_of), entity summarization (top_facts) and
+incremental degree maintenance (apply_degree_delta)."""
+
+import datetime
+
+from palladian_spark.operators.kg_temporal import facts_as_of, top_facts
+from palladian_spark.graph import (apply_degree_delta, kg_degrees,
+                                   kg_snapshot_diff)
+
+
+def _d(day):
+    return datetime.datetime(2026, 1, day)
+
+
+_OBS_COLS = ["subj", "pred", "obj", "ts", "conv_id", "turn_idx"]
+
+
+def _obs(spark):
+    return spark.createDataFrame(
+        # a-p: x (d1) → y (d3) → x (d5); b-p: z (d4) stable
+        [("a", "p", "x", _d(1), "c1", 1),
+         ("a", "p", "x", _d(2), "c1", 2),
+         ("a", "p", "y", _d(3), "c2", 1),
+         ("a", "p", "x", _d(5), "c3", 1),
+         ("b", "p", "z", _d(4), "c1", 3)],
+        _OBS_COLS)
+
+
+def test_facts_as_of_mid_history(spark):
+    # At d4: a-p is in its 'y' interval [d3, d5); b-p's 'z' is current.
+    out = {(r["subj"], r["pred"]): (r["obj"], r["version"])
+           for r in facts_as_of(_obs(spark), "2026-01-04 00:00:00").collect()}
+    assert out == {("a", "p"): ("y", 2), ("b", "p"): ("z", 1)}
+
+
+def test_facts_as_of_boundaries(spark):
+    # Interval is [valid_from, valid_to): at exactly d3 the 'y' version
+    # has started; before d1 nothing exists yet.
+    at_d3 = {(r["subj"], r["obj"]) for r in
+             facts_as_of(_obs(spark), "2026-01-03 00:00:00").collect()}
+    assert ("a", "y") in at_d3 and ("a", "x") not in at_d3
+    assert facts_as_of(_obs(spark), "2025-12-31 00:00:00").count() == 0
+
+
+def test_facts_as_of_latest_equals_current(spark):
+    # As-of max(ts) must return exactly the open (valid_to IS NULL) facts.
+    out = {(r["subj"], r["obj"]) for r in
+           facts_as_of(_obs(spark), "2026-01-05 00:00:00").collect()}
+    assert out == {("a", "x"), ("b", "z")}
+
+
+def test_top_facts_rank_and_tiebreak(spark):
+    rows = ([("s", "p", "hi", _d(i), f"c{i}", i) for i in range(1, 4)]  # 3×
+            + [("s", "p", "lo", _d(4), "c4", 1),                        # 1×
+               ("s", "q", "lo", _d(5), "c5", 1),                        # 1×, pred tie-break
+               ("t", "p", "z", _d(6), "c6", 1)])
+    df = spark.createDataFrame(rows, _OBS_COLS)
+    out = top_facts(df, k=2).collect()
+    by_subj = {}
+    for r in out:
+        by_subj.setdefault(r["subj"], []).append(
+            (r["rank"], r["pred"], r["obj"], r["support"]))
+    assert sorted(by_subj["s"]) == [(1, "p", "hi", 3), (2, "p", "lo", 1)]
+    assert by_subj["t"] == [(1, "p", "z", 1)]
+    assert all(len(v) <= 2 for v in by_subj.values())
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, ["subj", "pred", "obj"])
+
+
+def test_apply_degree_delta_matches_recompute(spark):
+    old = _triples(spark, [("a", "p", "b"), ("a", "p", "c"), ("b", "p", "c"),
+                           ("d", "p", "e")])
+    # new: drops (a,p,c) and the whole d-e edge; adds (c,p,a) and a new
+    # node f — exercises added/removed/node-vanishes/new-node paths.
+    new = _triples(spark, [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a"),
+                           ("f", "p", "b")])
+    diff = kg_snapshot_diff(old, new)
+    inc = {r["node"]: (r["out_degree"], r["in_degree"])
+           for r in apply_degree_delta(kg_degrees(old), diff).collect()}
+    full = {r["node"]: (r["out_degree"], r["in_degree"])
+            for r in kg_degrees(new).collect()}
+    assert inc == full
+    assert "d" not in inc and "e" not in inc  # fell to (0, 0) → dropped
+
+
+def test_apply_degree_delta_noop_diff(spark):
+    t = _triples(spark, [("a", "p", "b"), ("b", "p", "c")])
+    # Evidence drift only (duplicate observation rows) → 'changed' status,
+    # distinct-edge degrees must not move.
+    t_dup = t.unionAll(_triples(spark, [("a", "p", "b")]))
+    diff = kg_snapshot_diff(t, t_dup)
+    inc = {r["node"]: (r["out_degree"], r["in_degree"])
+           for r in apply_degree_delta(kg_degrees(t), diff).collect()}
+    full = {r["node"]: (r["out_degree"], r["in_degree"])
+            for r in kg_degrees(t_dup).collect()}
+    assert inc == full
