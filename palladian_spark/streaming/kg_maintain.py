@@ -1,0 +1,176 @@
+"""Streaming KG maintenance: micro-batches of transcript turns update the
+graph's derived artifacts INCREMENTALLY instead of recomputing them.
+
+`streaming/incremental.run_incremental_pipeline` appends raw triples;
+this module maintains what a KG consumer actually reads — per batch:
+
+  1. extract      — the fused extraction+linking kernel
+                    (relations.extract_canonical_triples) on the batch;
+  2. new edges    — the batch's distinct (subj, pred, obj) anti-joined
+                    against every edge seen in EARLIER batches; only the
+                    novel ones are persisted (``edges/batch=N`` —
+                    append-only store whose total size is the distinct
+                    edge count, not the observation count);
+  3. evidence Δ   — the batch's per-edge observation counts
+                    (``evidence_delta/batch=N``); cumulative evidence =
+                    SUM over batch partitions, so the store is
+                    append-only and a consumer folds it with one
+                    map-side-combinable agg;
+  4. degrees      — ``graph.apply_degree_delta`` applied to the previous
+                    batch's profile with the novel edges as an
+                    ``added``-only diff — O(|new edges|) work per batch,
+                    never a full-graph recompute (equality with the
+                    recompute is pinned by graph tests and the
+                    kg_degrees_incremental contract oracle).
+
+Idempotency: every output is OVERWRITE of its own ``batch=N`` directory
+and every base read filters ``batch < N``, so a replayed batch id (crash
+before the checkpoint commit) replaces its half-written output and never
+sees it as history — exactly-once without a transactional format.
+
+Scale notes: at a real deployment the degree profile (node-sized, orders
+smaller than the edge set) would be MERGEd into a keyed Iceberg table
+rather than rewritten per batch, and the known-edge anti-join would be a
+MERGE source; the per-batch work is bounded by ``maxFilesPerTrigger``
+and touches O(batch + novel edges), not O(graph).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.utils import AnalysisException
+
+from palladian_spark.streaming.incremental import stream_transcripts
+
+
+def _read_partitioned(spark: SparkSession, base_dir: str,
+                      before_batch: int) -> Optional[DataFrame]:
+    """``<base_dir>/batch=*`` rows with batch < before_batch, or None if
+    the store does not exist yet / has no earlier batches."""
+    try:
+        df = (spark.read.option("basePath", base_dir)
+              .parquet(f"{base_dir}/batch=*")
+              .where(F.col("batch") < int(before_batch)))
+        if not df.take(1):
+            return None
+        return df
+    except AnalysisException:
+        return None
+
+
+def _maintain_batch(spark: SparkSession, triples: DataFrame, batch_id: int,
+                    output_dir: str) -> dict:
+    """Pure-batch kernel (unit-testable without a stream): fold one
+    batch's triples into the edge / evidence-delta / degree stores.
+    Returns the lineage row as a dict."""
+    from palladian_spark.graph import apply_degree_delta
+
+    edges_dir = f"{output_dir}/edges"
+    evidence_dir = f"{output_dir}/evidence_delta"
+    degrees_dir = f"{output_dir}/degrees"
+    lineage_dir = f"{output_dir}/lineage"
+    bid = int(batch_id)
+
+    t = triples.select("subj", "pred", "obj").persist()
+
+    evidence = (t.groupBy("subj", "pred", "obj")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_obs")))
+    evidence.write.mode("overwrite").parquet(f"{evidence_dir}/batch={bid}")
+
+    batch_edges = t.select("subj", "pred", "obj").distinct()
+    known = _read_partitioned(spark, edges_dir, bid)
+    if known is not None:
+        new_edges = batch_edges.join(
+            known.select("subj", "pred", "obj"),
+            ["subj", "pred", "obj"], "left_anti")
+    else:
+        new_edges = batch_edges
+    new_edges = new_edges.persist()
+    n_new = new_edges.count()
+    new_edges.write.mode("overwrite").parquet(f"{edges_dir}/batch={bid}")
+
+    prev_lineage = _read_partitioned(spark, lineage_dir, bid)
+    if prev_lineage is not None:
+        prev_bid = prev_lineage.agg(F.max("batch")).first()[0]
+        prev_degrees = (spark.read.option("basePath", degrees_dir)
+                        .parquet(f"{degrees_dir}/batch=*")
+                        .where(F.col("batch") == int(prev_bid))
+                        .select("node", "out_degree", "in_degree"))
+    else:
+        prev_degrees = spark.createDataFrame(
+            [], "node string, out_degree long, in_degree long")
+    diff = new_edges.select("subj", "obj", F.lit("added").alias("status"))
+    degrees = (apply_degree_delta(prev_degrees, diff)
+               .select("node", F.col("out_degree").cast("long").alias("out_degree"),
+                       F.col("in_degree").cast("long").alias("in_degree")))
+    degrees = degrees.persist()
+    n_nodes = degrees.count()
+    degrees.write.mode("overwrite").parquet(f"{degrees_dir}/batch={bid}")
+
+    row = {"batch_id": bid, "n_triples": t.count(), "n_new_edges": n_new,
+           "n_nodes": n_nodes, "finished_at": time.time()}
+    spark.createDataFrame(
+        [(row["batch_id"], row["n_triples"], row["n_new_edges"],
+          row["n_nodes"], row["finished_at"])],
+        "batch_id long, n_triples long, n_new_edges long, n_nodes long, "
+        "finished_at double").write.mode("overwrite").parquet(
+        f"{lineage_dir}/batch={bid}")
+    for df in (degrees, new_edges, t):
+        df.unpersist()
+    return row
+
+
+def run_streaming_kg_maintenance(spark: SparkSession, input_dir: str,
+                                 output_dir: str, model,
+                                 entity_dict: DataFrame,
+                                 patterns: Optional[Sequence] = None,
+                                 max_files_per_trigger: Optional[int] = None,
+                                 available_now: bool = True):
+    """readStream(transcripts) → foreachBatch(extract + incremental KG
+    artifact maintenance).  With ``available_now`` the query drains the
+    current input and stops; rerunning processes ONLY new files
+    (checkpointed ingestion) and folds them into the same stores."""
+    from palladian_spark.relations import (
+        DEFAULT_PATTERNS, extract_canonical_triples)
+    patterns = (tuple(patterns) if patterns is not None
+                else tuple(DEFAULT_PATTERNS))
+
+    checkpoint_dir = f"{output_dir}/_checkpoint"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        triples = extract_canonical_triples(batch_df, model, entity_dict,
+                                            patterns=patterns)
+        _maintain_batch(spark, triples, int(batch_id), output_dir)
+
+    stream = stream_transcripts(spark, input_dir, max_files_per_trigger)
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+        return query
+    return writer.trigger(processingTime="10 seconds").start()
+
+
+def fold_evidence(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Consumer-side fold of the append-only evidence deltas: cumulative
+    per-edge observation counts (one map-side-combinable agg)."""
+    return (spark.read.option("basePath", f"{output_dir}/evidence_delta")
+            .parquet(f"{output_dir}/evidence_delta/batch=*")
+            .groupBy("subj", "pred", "obj")
+            .agg(F.sum("n_obs").cast("long").alias("n_obs")))
+
+
+def current_degrees(spark: SparkSession, output_dir: str) -> DataFrame:
+    """The latest maintained degree profile."""
+    lineage = (spark.read.option("basePath", f"{output_dir}/lineage")
+               .parquet(f"{output_dir}/lineage/batch=*"))
+    last = lineage.agg(F.max("batch")).first()[0]
+    return (spark.read.option("basePath", f"{output_dir}/degrees")
+            .parquet(f"{output_dir}/degrees/batch=*")
+            .where(F.col("batch") == int(last))
+            .select("node", "out_degree", "in_degree"))
