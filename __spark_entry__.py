@@ -1173,6 +1173,17 @@ def _q_kg_degrees_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("in_degree").cast("long").alias("in_degree")))
 
 
+def _q_kg_edges_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted edge table: evidence with bucketed power-of-two
+    decay from the stream's max timestamp (kg_temporal.
+    recency_weighted_edges) — the freshness prior for weighted rank /
+    truth finding; weights are exact integers so the agg is
+    order-independent."""
+    from palladian_spark.operators.kg_temporal import recency_weighted_edges
+    return recency_weighted_edges(_kg_observations(spark, sf_dir),
+                                  half_life_days=365, cap=3)
+
+
 def _q_schema_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Instance-driven schema induction: per (pred, subj_type, obj_type)
     support and within-predicate fraction (type = first surface token)."""
@@ -1822,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_transitions": _q_fact_transitions,
         "entity_timeline": _q_entity_timeline,
         "kg_as_of": _q_kg_as_of,
+        "kg_edges_decayed": _q_kg_edges_decayed,
         "kg_top_facts": _q_kg_top_facts,
         "kg_degrees_incremental": _q_kg_degrees_incremental,
         "schema_induction": _q_schema_induction,
@@ -3328,6 +3340,16 @@ SELECT subj, pred, obj, valid_from, version
 FROM hist
 WHERE valid_from <= TIMESTAMP '1995-06-17 00:00:00'
   AND (valid_to IS NULL OR valid_to > TIMESTAMP '1995-06-17 00:00:00')
+""",
+        "kg_edges_decayed": _TS_BASE_CTE + """
+nw AS (SELECT max(ts) AS now_ts FROM obs),
+wobs AS (SELECT subj, pred, obj,
+                CAST(power(2.0, 3 - LEAST(CAST(floor(
+                    floor((epoch(now_ts) - epoch(ts)) / 86400) / 365.0)
+                    AS BIGINT), 3)) AS BIGINT) AS w
+         FROM obs CROSS JOIN nw)
+SELECT subj AS src, pred, obj AS dst, CAST(sum(w) AS BIGINT) AS weight
+FROM wobs GROUP BY 1, 2, 3
 """,
         "kg_top_facts": _TS_BASE_CTE + """
 ev AS (SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS support,

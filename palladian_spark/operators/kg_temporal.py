@@ -147,3 +147,35 @@ def top_facts(observations: DataFrame, k: int = 3) -> DataFrame:
     return (ev.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= int(k))
             .select("subj", "pred", "obj", "support", "first_ts", "rank"))
+
+def recency_weighted_edges(observations: DataFrame,
+                           half_life_days: int = 365,
+                           cap: int = 3) -> DataFrame:
+    """Recency-weighted KG edges: evidence counted with bucketed
+    exponential decay, so recently-asserted facts outweigh stale ones
+    (the standard freshness prior for rank/truth computations).
+
+    Each distinct observation contributes 2^max(0, cap - bucket) where
+    bucket = floor(age_days / half_life_days) and age is measured from
+    the stream's max timestamp (deterministic "now").  Weights are exact
+    integers — the decay is bucketed precisely so the aggregate is
+    order-independent and SQL-replayable, unlike an IEEE sum of
+    exp(-age) terms.  Output: (src, pred, dst, weight) — a drop-in for
+    graph.pagerank(weight_col="weight") and the truth-finding votes.
+
+    Shape: one broadcastable 1-row max-ts agg, a per-row bucket
+    expression, one map-side-combinable sum on the edge key.
+    """
+    obs = observations.select(*_OBS_COLS).distinct()
+    now = obs.agg(F.max("ts").alias("_now"))
+    age_days = ((F.unix_timestamp("_now") - F.unix_timestamp("ts"))
+                / F.lit(86400)).cast("long")
+    bucket = F.least(age_days / F.lit(int(half_life_days)),
+                     F.lit(int(cap)).cast("double")).cast("long")
+    w = F.pow(F.lit(2.0), (F.lit(int(cap)) - bucket).cast("double")) \
+        .cast("long")
+    return (obs.crossJoin(F.broadcast(now))
+            .withColumn("_w", w)
+            .groupBy(F.col("subj").alias("src"), "pred",
+                     F.col("obj").alias("dst"))
+            .agg(F.sum("_w").cast("long").alias("weight")))

@@ -96,3 +96,30 @@ def test_apply_degree_delta_noop_diff(spark):
     full = {r["node"]: (r["out_degree"], r["in_degree"])
             for r in kg_degrees(t_dup).collect()}
     assert inc == full
+
+
+def test_recency_weighted_edges_buckets(spark):
+    from palladian_spark.operators.kg_temporal import recency_weighted_edges
+    d = datetime.datetime
+    rows = [
+        # now = 2026-01-01; ages: 0d, 400d (bucket 1), 3000d (capped 3)
+        ("a", "p", "b", d(2026, 1, 1), "c1", 1),   # w = 8
+        ("a", "p", "b", d(2024, 11, 28), "c2", 1),  # ~400d → bucket 1 → 4
+        ("a", "p", "b", d(2017, 10, 15), "c3", 1),  # ~3000d → capped → 1
+        ("x", "q", "y", d(2025, 12, 31), "c4", 1),  # 1d → bucket 0 → 8
+    ]
+    df = spark.createDataFrame(rows, _OBS_COLS)
+    out = {(r["src"], r["pred"], r["dst"]): r["weight"]
+           for r in recency_weighted_edges(df, half_life_days=365,
+                                           cap=3).collect()}
+    assert out == {("a", "p", "b"): 13, ("x", "q", "y"): 8}
+
+
+def test_recency_weighted_edges_uniform_when_fresh(spark):
+    # All observations inside one half-life → every contribution is 2^cap,
+    # so weights reduce to 8 × the plain evidence count.
+    from palladian_spark.operators.kg_temporal import recency_weighted_edges
+    rows = [("a", "p", "b", _d(i), f"c{i}", 1) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, _OBS_COLS)
+    [r] = recency_weighted_edges(df, half_life_days=365, cap=3).collect()
+    assert r["weight"] == 5 * 8
