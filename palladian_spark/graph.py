@@ -240,7 +240,8 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85,
              checkpoint: bool = False,
              checkpoint_dir: str | None = None,
              weight_col: str | None = None,
-             seeds: DataFrame | None = None) -> DataFrame:
+             seeds: DataFrame | None = None,
+             init_ranks: DataFrame | None = None) -> DataFrame:
     """PageRank over the DISTINCT directed edge set.
 
     rank_0 = 1/N; rank_{k+1}(v) = (1−d)/N + d · Σ_{u→v} rank_k(u)/out(u).
@@ -260,6 +261,16 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85,
     Weights are integral (evidence counts), so W_out sums are exact and
     the decimal-cast contribution sums keep every iteration
     order-independent, exactly as in the unweighted path.
+
+    ``init_ranks`` (a (node, rank) DataFrame) WARM-STARTS the
+    iteration: rank_0 = the given ranks for known nodes, 1/N for nodes
+    the old vector has never seen (removed nodes drop out via the node
+    join).  PageRank's fixed point does not depend on the start vector,
+    but the error contracts by ~d per iteration — so after a small
+    snapshot delta (apply_degree_delta territory) a 2-3 iteration warm
+    refresh lands where a cold start needs its full budget.  Pass the
+    UNROUNDED previous vector (round_decimals=None) for the cleanest
+    contraction.
 
     ``seeds`` (a DataFrame with a ``node`` column) switches to
     PERSONALIZED PageRank: the restart vector p puts 1/|S| on each seed
@@ -304,6 +315,12 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85,
         base_t = nodes.withColumn("_pv", F.lit(1.0 / n))
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
         restart = F.lit((1.0 - damping) / n)
+    if init_ranks is not None:
+        ranks = (nodes.join(init_ranks.select("node",
+                                              F.col("rank").alias("_r0")),
+                            "node", "left")
+                 .select("node", F.coalesce("_r0", F.lit(1.0 / n))
+                         .alias("rank")))
 
     for _ in range(n_iter):
         contrib = (e.join(ranks, e.src == ranks.node)
