@@ -700,6 +700,14 @@ def _q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("count").alias("n"))
 
 
+def _q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI association strength over the same-sentence co-occurrence
+    pairs (relations.pmi_associations) — chance co-mentions rank below
+    genuinely associated entity pairs."""
+    from palladian_spark.relations import pmi_associations
+    return pmi_associations(_q_cooccurrence(spark, sf_dir))
+
+
 def _q_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash → LSH bands → bucket join → exact-Jaccard verify
     (the scale path for near-dup detection)."""
@@ -1900,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "case_dictionary": _q_case_dictionary,
         "mine_patterns": _q_mine_patterns,
         "cooccurrence": _q_cooccurrence,
+        "cooccurrence_pmi": _q_cooccurrence_pmi,
         "lsh_dedup_pairs": _q_lsh_dedup,
         "simhash": _q_simhash,
         "ngram_jaccard_neardup": _q_ngram_jaccard_neardup,
@@ -4170,6 +4179,30 @@ UNION ALL SELECT cust, 'CANDIDATE', nat, 'CANDIDATE', count(*)
 FROM dedup GROUP BY 1, 3
 UNION ALL SELECT supp, 'CANDIDATE', nat, 'CANDIDATE', count(*)
 FROM dedup GROUP BY 1, 3
+""",
+        "cooccurrence_pmi": _BASE_CTE + """
+, dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY cust || ' works for ' || supp || ' in ' || nat || '.') rn
+    FROM base)
+  WHERE rn = 1
+),
+p AS (SELECT cust AS a, supp AS b, CAST(count(*) AS BIGINT) n_ab
+      FROM dedup GROUP BY 1, 2
+      UNION ALL SELECT cust, nat, count(*) FROM dedup GROUP BY 1, 2
+      UNION ALL SELECT supp, nat, count(*) FROM dedup GROUP BY 1, 2),
+pg AS (SELECT a, b, CAST(sum(n_ab) AS BIGINT) n_ab FROM p GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n_ab) AS BIGINT) n_total FROM pg),
+marg AS (SELECT e, CAST(sum(n_ab) AS BIGINT) m FROM (
+           SELECT a AS e, n_ab FROM pg
+           UNION ALL SELECT b, n_ab FROM pg) u GROUP BY e)
+SELECT a, b, n_ab, ma.m AS m_a, mb.m AS m_b,
+       round(ln(4.0 * n_ab * n_total / (ma.m * mb.m)), 6) + 0.0 AS pmi
+FROM pg CROSS JOIN tot
+JOIN marg ma ON pg.a = ma.e
+JOIN marg mb ON pg.b = mb.e
 """,
         "lsh_dedup_pairs": _LSH_PAIRS_SQL,
         "dedup_incremental": """

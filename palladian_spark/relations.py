@@ -568,3 +568,45 @@ def mine_patterns_df(transcripts: DataFrame, model: NerModel,
     return (raw.groupBy("subj_type", "obj_type", "window").count()
             .where(F.col("count") >= min_count)
             .orderBy(F.desc("count")))
+
+
+def pmi_associations(pairs: DataFrame,
+                     left_col: str = "left_value",
+                     right_col: str = "right_value",
+                     count_col: str = "n",
+                     min_count: int = 1) -> DataFrame:
+    """Pointwise mutual information over co-occurrence pair counts — the
+    association strength that separates entities co-mentioned by CHANCE
+    (two hubs sharing sentences everywhere) from genuinely associated
+    pairs; the standard relation-candidate ranker on top of
+    cooccurrence_pairs / cooccurrence_document_pairs.
+
+    With N = Σ n_ab, joint p(a,b) = n_ab/N and marginal p(x) = m_x/(2N)
+    where m_x sums every pair occurrence x participates in (each pair
+    feeds both endpoints, so Σ m_x = 2N):
+
+        pmi = ln(4·n_ab·N / (m_a·m_b)),   rounded to 6 decimals.
+
+    Exact-integer counts feed one per-row IEEE expression, so the result
+    is order-independent and SQL-replayable.  Shape: one 1-row total agg
+    (broadcast), an endpoint-union marginal agg (entity-sized), two hash
+    joins on the pair table.  No collects.
+    """
+    p = (pairs.select(F.col(left_col).alias("a"),
+                      F.col(right_col).alias("b"),
+                      F.col(count_col).cast("long").alias("n_ab"))
+         .groupBy("a", "b").agg(F.sum("n_ab").alias("n_ab"))
+         .where(F.col("n_ab") >= int(min_count)))
+    total = p.agg(F.sum("n_ab").cast("long").alias("n_total"))
+    marg = (p.select(F.col("a").alias("e"), "n_ab")
+            .unionAll(p.select(F.col("b").alias("e"), "n_ab"))
+            .groupBy("e").agg(F.sum("n_ab").cast("long").alias("m")))
+    out = (p.crossJoin(F.broadcast(total))
+           .join(marg.select(F.col("e").alias("a"),
+                             F.col("m").alias("m_a")), "a")
+           .join(marg.select(F.col("e").alias("b"),
+                             F.col("m").alias("m_b")), "b"))
+    pmi = F.log(F.lit(4.0) * F.col("n_ab") * F.col("n_total")
+                / (F.col("m_a") * F.col("m_b")))
+    return out.select("a", "b", "n_ab", "m_a", "m_b",
+                      (F.round(pmi, 6) + F.lit(0.0)).alias("pmi"))

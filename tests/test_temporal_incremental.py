@@ -143,7 +143,6 @@ def test_pagerank_warm_start_converges_faster(spark):
                                   init_ranks=init).collect()}
 
     truth = pr(new, 40)
-    old_vec = pagerank(old, n_iter=40, round_decimals=None)
     warm = pr(new, 2, init=spark.createDataFrame(
         [(k, v) for k, v in pr(old, 40).items()], ["node", "rank"]))
     cold = pr(new, 2)
@@ -162,3 +161,29 @@ def test_pagerank_warm_start_new_node_defaults(spark):
            pagerank(edges, n_iter=1, init_ranks=init).collect()}
     # node c is absent from the init vector but present in the graph
     assert out == {"a", "b", "c"}
+
+
+def test_pmi_associations_ranks_specific_pairs(spark):
+    import math
+    from palladian_spark.relations import pmi_associations
+    # hub co-occurs with everyone (chance); x-y co-occur only together
+    pairs = spark.createDataFrame(
+        [("hub", "a", 4), ("hub", "b", 4), ("hub", "c", 4),
+         ("x", "y", 4)],
+        ["left_value", "right_value", "n"])
+    out = {(r["a"], r["b"]): r for r in pmi_associations(pairs).collect()}
+    # N=16; x-y: m_x=m_y=4 → pmi = ln(4*4*16/(4*4)) = ln(16)
+    assert abs(out[("x", "y")]["pmi"] - round(math.log(16.0), 6)) < 1e-9
+    # hub-a: m_hub=12, m_a=4 → ln(4*4*16/(12*4)) = ln(16/3)
+    assert abs(out[("hub", "a")]["pmi"]
+               - round(math.log(16.0 / 3.0), 6)) < 1e-9
+    assert out[("x", "y")]["pmi"] > out[("hub", "a")]["pmi"]
+
+
+def test_pmi_associations_min_count_filter(spark):
+    from palladian_spark.relations import pmi_associations
+    pairs = spark.createDataFrame(
+        [("a", "b", 5), ("a", "c", 1)],
+        ["left_value", "right_value", "n"])
+    out = pmi_associations(pairs, min_count=2)
+    assert [(r["a"], r["b"]) for r in out.collect()] == [("a", "b")]
