@@ -1115,6 +1115,22 @@ def _q_kg_bernoulli_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q_triples(spark, sf_dir).select("subj", "pred", "obj"), n_neg=2)
 
 
+def _q_kg_inverse_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse/symmetric relation discovery (kg_fusion.
+    inverse_relation_candidates): the pipeline triples plus a partial
+    deterministic 'employs' reversal of works_for (even supplier ids),
+    so both directions carry non-trivial AMIE-style confidences."""
+    from palladian_spark.operators.kg_fusion import inverse_relation_candidates
+    t = _q_triples(spark, sf_dir).select("subj", "pred", "obj")
+    emp = (t.where((F.col("pred") == "works_for")
+                   & (F.regexp_extract("obj", r"S(\d+)$", 1).cast("int")
+                      % 2 == 0))
+           .select(F.col("obj").alias("subj"),
+                   F.lit("employs").alias("pred"),
+                   F.col("subj").alias("obj")))
+    return inverse_relation_candidates(t.unionByName(emp), min_overlap=2)
+
+
 def _kg_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observation-level triples with timestamps: the pipeline's triples
     joined to the distinct (conv, turn, ts) turn timestamps (duplicate
@@ -1844,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges_decayed": _q_kg_edges_decayed,
         "kg_top_facts": _q_kg_top_facts,
         "kg_degrees_incremental": _q_kg_degrees_incremental,
+        "kg_inverse_relations": _q_kg_inverse_relations,
         "schema_induction": _q_schema_induction,
         "export_ntriples": _q_export_ntriples,
         "canonicalize_surfaces": _q_canonicalize_surfaces,
@@ -3371,6 +3388,26 @@ FROM (SELECT *, row_number() OVER (PARTITION BY subj
                                             first_ts) AS rank
       FROM ev) r
 WHERE rank <= 3
+""",
+        "kg_inverse_relations": _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
+        FROM base
+        UNION SELECT DISTINCT supp, 'located_in', nat FROM base),
+t2 AS (SELECT subj, pred, obj FROM t
+       UNION SELECT obj, 'employs', subj FROM t
+       WHERE pred = 'works_for'
+         AND CAST(regexp_extract(obj, 'S(\\d+)$', 1) AS INT) % 2 = 0),
+sup AS (SELECT pred, count(*) AS n FROM t2 GROUP BY pred),
+ov AS (SELECT a.pred AS pred, b.pred AS inv_pred,
+              CAST(count(*) AS BIGINT) AS overlap
+       FROM t2 a JOIN t2 b ON a.subj = b.obj AND a.obj = b.subj
+       GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT ov.pred, ov.inv_pred, ov.overlap,
+       CAST(sp.n AS BIGINT) AS n_pred, CAST(si.n AS BIGINT) AS n_inv,
+       round(ov.overlap / CAST(sp.n AS DOUBLE), 6) + 0.0 AS conf_fwd,
+       round(ov.overlap / CAST(si.n AS DOUBLE), 6) + 0.0 AS conf_bwd
+FROM ov JOIN sup sp ON ov.pred = sp.pred
+        JOIN sup si ON ov.inv_pred = si.pred
 """,
         "kg_degrees_incremental": _TS_BASE_CTE + """
 t AS (SELECT DISTINCT subj, pred, obj FROM obs),

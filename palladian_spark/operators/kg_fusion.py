@@ -270,3 +270,40 @@ def bernoulli_negative_samples(triples: DataFrame, n_neg: int = 2,
                            "left_anti")
             .select("subj", "pred", "obj", "k", "side",
                     "neg_subj", "neg_obj"))
+
+
+def inverse_relation_candidates(triples: DataFrame,
+                                min_overlap: int = 2) -> DataFrame:
+    """Schema-alignment signal: predicate pairs that look like INVERSES
+    of each other — (a p b) tends to co-occur with (b q a) — plus the
+    p == q diagonal, which measures how SYMMETRIC a predicate is.  The
+    AMIE-style confidence here is overlap / support(p): the fraction of
+    p's edges whose reversal is asserted under q.
+
+    Output per (pred, inv_pred): (overlap, n_pred, n_inv, conf_fwd,
+    conf_bwd) with confs rounded to 6 decimals.  Pairs below
+    ``min_overlap`` are dropped (noise floor).
+
+    Shape: one self-join of the distinct edge set against its reversal
+    on the (subj, obj) key — the same key both sides, so it shuffles
+    once each; predicate supports are a broadcast-sized profile joined
+    back in.  Never materializes pred × pred.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    sup = t.groupBy("pred").agg(F.count(F.lit(1)).alias("n"))
+    rev = t.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"),
+                   F.col("pred").alias("inv_pred"))
+    ov = (t.join(rev, ["subj", "obj"])
+          .groupBy("pred", "inv_pred")
+          .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+          .where(F.col("overlap") >= int(min_overlap)))
+    return (ov.join(sup.withColumnRenamed("n", "n_pred"), "pred")
+            .join(sup.select(F.col("pred").alias("inv_pred"),
+                             F.col("n").alias("n_inv")), "inv_pred")
+            .select("pred", "inv_pred", "overlap",
+                    F.col("n_pred").cast("long").alias("n_pred"),
+                    F.col("n_inv").cast("long").alias("n_inv"),
+                    (F.round(F.col("overlap") / F.col("n_pred"), 6)
+                     + F.lit(0.0)).alias("conf_fwd"),
+                    (F.round(F.col("overlap") / F.col("n_inv"), 6)
+                     + F.lit(0.0)).alias("conf_bwd")))

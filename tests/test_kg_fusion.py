@@ -85,3 +85,29 @@ def test_bernoulli_negatives_filtered_one_side(spark):
     assert head > 0 and tail > 0
     fan_heads = [r for r in out1 if r["pred"] == "fan"]
     assert sum(r["side"] == "head" for r in fan_heads) > 0.7 * len(fan_heads)
+
+
+def test_inverse_relation_candidates(spark):
+    from palladian_spark.operators.kg_fusion import (
+        inverse_relation_candidates)
+    t = spark.createDataFrame(
+        [("a", "knows", "b"), ("b", "knows", "a"), ("c", "knows", "d"),
+         ("x", "parent_of", "y"), ("y", "child_of", "x"),
+         ("p", "parent_of", "q"), ("q", "child_of", "p"),
+         ("r", "parent_of", "s")],   # un-reversed parent edge
+        ["subj", "pred", "obj"])
+    out = {(r["pred"], r["inv_pred"]): r
+           for r in inverse_relation_candidates(t, min_overlap=2).collect()}
+    # symmetric diagonal: 2 of 3 'knows' edges have their reversal
+    d = out[("knows", "knows")]
+    assert (d["overlap"], d["n_pred"]) == (2, 3)
+    assert abs(d["conf_fwd"] - round(2 / 3, 6)) < 1e-9
+    # inverse pair in both directions, with asymmetric confidences
+    fwd = out[("parent_of", "child_of")]
+    assert (fwd["overlap"], fwd["n_pred"], fwd["n_inv"]) == (2, 3, 2)
+    assert abs(fwd["conf_fwd"] - round(2 / 3, 6)) < 1e-9
+    assert fwd["conf_bwd"] == 1.0
+    bwd = out[("child_of", "parent_of")]
+    assert bwd["conf_fwd"] == 1.0
+    assert set(out) == {("knows", "knows"), ("parent_of", "child_of"),
+                        ("child_of", "parent_of")}
