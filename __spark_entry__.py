@@ -1131,6 +1131,14 @@ def _q_kg_inverse_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverse_relation_candidates(t.unionByName(emp), min_overlap=2)
 
 
+def _q_kg_neighborhood_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style 1-hop neighborhood feature table per node
+    (graph.neighborhood_features) — the tabular training-data companion
+    to the walk corpus / negative samples."""
+    from palladian_spark.graph import neighborhood_features
+    return neighborhood_features(_q_triples(spark, sf_dir))
+
+
 def _kg_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observation-level triples with timestamps: the pipeline's triples
     joined to the distinct (conv, turn, ts) turn timestamps (duplicate
@@ -1861,6 +1869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_top_facts": _q_kg_top_facts,
         "kg_degrees_incremental": _q_kg_degrees_incremental,
         "kg_inverse_relations": _q_kg_inverse_relations,
+        "kg_neighborhood_features": _q_kg_neighborhood_features,
         "schema_induction": _q_schema_induction,
         "export_ntriples": _q_export_ntriples,
         "canonicalize_surfaces": _q_canonicalize_surfaces,
@@ -3388,6 +3397,33 @@ FROM (SELECT *, row_number() OVER (PARTITION BY subj
                                             first_ts) AS rank
       FROM ev) r
 WHERE rank <= 3
+""",
+        "kg_neighborhood_features": _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
+        FROM base
+        UNION SELECT DISTINCT supp, 'located_in', nat FROM base),
+o AS (SELECT subj AS node, CAST(count(*) AS BIGINT) od FROM t GROUP BY 1),
+i AS (SELECT obj AS node, CAST(count(*) AS BIGINT) idg FROM t GROUP BY 1),
+deg AS (SELECT COALESCE(o.node, i.node) AS node,
+               COALESCE(od, 0) AS out_degree, COALESCE(idg, 0) AS in_degree
+        FROM o FULL JOIN i ON o.node = i.node),
+po AS (SELECT subj AS node, CAST(count(DISTINCT pred) AS BIGINT) np
+       FROM t GROUP BY 1),
+nb AS (SELECT e.node, CAST(count(*) AS BIGINT) n_nbrs,
+              CAST(sum(d.out_degree) AS BIGINT) s,
+              CAST(max(d.out_degree) AS BIGINT) mx
+       FROM (SELECT DISTINCT subj AS node, obj AS nbr FROM t) e
+       JOIN deg d ON e.nbr = d.node
+       GROUP BY 1)
+SELECT deg.node, deg.out_degree, deg.in_degree,
+       COALESCE(po.np, 0) AS n_preds_out,
+       COALESCE(nb.n_nbrs, 0) AS n_nbrs_out,
+       COALESCE(nb.s, 0) AS nbr_out_degree_sum,
+       COALESCE(nb.mx, 0) AS nbr_out_degree_max,
+       round(CAST(nb.s AS DOUBLE) / nb.n_nbrs, 6) + 0.0
+         AS nbr_out_degree_mean
+FROM deg LEFT JOIN po ON deg.node = po.node
+         LEFT JOIN nb ON deg.node = nb.node
 """,
         "kg_inverse_relations": _BASE_CTE + """
 , t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj

@@ -1210,3 +1210,51 @@ def quotient_graph(edges: DataFrame, labels: DataFrame,
                     F.greatest("lu", "lv").alias("c_v"))
             .groupBy("c_u", "c_v")
             .agg(F.count(F.lit(1)).cast("long").alias("weight")))
+
+
+def neighborhood_features(triples: DataFrame) -> DataFrame:
+    """GraphSAGE-style 1-hop neighborhood feature table per node — the
+    tabular companion to the walk corpus / negative samples for training
+    graph models on the KG: each node's own degree profile plus
+    aggregates of its out-neighbors' connectivity.
+
+    Output per node: (node, out_degree, in_degree, n_preds_out,
+    n_nbrs_out, nbr_out_degree_sum, nbr_out_degree_max,
+    nbr_out_degree_mean) — mean is one IEEE division of exact longs,
+    rounded to 6 decimals (nodes with no out-neighbors report 0 sums and
+    NULL mean).
+
+    Shape: the degree profile (two map-side aggs) joined to one
+    edge⋈degree pass aggregated back per source — three hash
+    shuffles on node keys, no row explosion beyond the edge table; hot
+    hubs skew exactly like every degree agg (AQE handles it).
+    """
+    e = triples.select("subj", "pred", "obj").distinct()
+    deg = kg_degrees(e)
+    preds_out = (e.groupBy(F.col("subj").alias("node"))
+                 .agg(F.countDistinct("pred").alias("n_preds_out")))
+    nbr = (e.select(F.col("subj").alias("node"), F.col("obj").alias("nbr"))
+           .distinct()
+           .join(deg.select(F.col("node").alias("nbr"),
+                            F.col("out_degree").alias("nbr_od")), "nbr")
+           .groupBy("node")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_nbrs_out"),
+                F.sum("nbr_od").cast("long").alias("nbr_out_degree_sum"),
+                F.max("nbr_od").cast("long").alias("nbr_out_degree_max")))
+    return (deg.join(preds_out, "node", "left")
+            .join(nbr, "node", "left")
+            .select(
+                "node",
+                F.col("out_degree").cast("long").alias("out_degree"),
+                F.col("in_degree").cast("long").alias("in_degree"),
+                F.coalesce("n_preds_out", F.lit(0)).cast("long")
+                .alias("n_preds_out"),
+                F.coalesce("n_nbrs_out", F.lit(0)).cast("long")
+                .alias("n_nbrs_out"),
+                F.coalesce("nbr_out_degree_sum", F.lit(0)).cast("long")
+                .alias("nbr_out_degree_sum"),
+                F.coalesce("nbr_out_degree_max", F.lit(0)).cast("long")
+                .alias("nbr_out_degree_max"),
+                (F.round(F.col("nbr_out_degree_sum")
+                         / F.col("n_nbrs_out"), 6) + F.lit(0.0))
+                .alias("nbr_out_degree_mean")))

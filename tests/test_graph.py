@@ -238,3 +238,34 @@ def test_link_prediction_min_common(spark):
     strict = {(r["a"], r["b"])
               for r in link_prediction_scores(e, min_common=2).collect()}
     assert strict == {("a", "b"), ("x", "y")}
+
+
+def test_neighborhood_features_golden(spark):
+    from palladian_spark.graph import neighborhood_features
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "q", "c"), ("b", "p", "c"),
+         ("c", "p", "a")],
+        ["subj", "pred", "obj"])
+    out = {r["node"]: r for r in neighborhood_features(t).collect()}
+    a = out["a"]
+    # a → {b (od 1), c (od 1)}: sum 2, max 1, mean 1.0; preds {p, q}
+    assert (a["out_degree"], a["in_degree"], a["n_preds_out"]) == (2, 1, 2)
+    assert (a["n_nbrs_out"], a["nbr_out_degree_sum"],
+            a["nbr_out_degree_max"]) == (2, 2, 1)
+    assert a["nbr_out_degree_mean"] == 1.0
+    # b → {c (od 1)}
+    b = out["b"]
+    assert (b["n_nbrs_out"], b["nbr_out_degree_sum"]) == (1, 1)
+    # c → {a (od 2)}: max/mean pick up the hub neighbor
+    c = out["c"]
+    assert (c["nbr_out_degree_max"], c["nbr_out_degree_mean"]) == (2, 2.0)
+
+
+def test_neighborhood_features_sink_node(spark):
+    from palladian_spark.graph import neighborhood_features
+    t = spark.createDataFrame([("a", "p", "b")], ["subj", "pred", "obj"])
+    out = {r["node"]: r for r in neighborhood_features(t).collect()}
+    b = out["b"]  # pure sink: zero out-neighborhood, NULL mean
+    assert (b["out_degree"], b["n_nbrs_out"],
+            b["nbr_out_degree_sum"]) == (0, 0, 0)
+    assert b["nbr_out_degree_mean"] is None
