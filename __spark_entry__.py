@@ -1139,6 +1139,26 @@ def _q_kg_neighborhood_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_features(_q_triples(spark, sf_dir))
 
 
+def _q_kg_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-lite chain-rule mining (kg_fusion.mine_chain_rules): the
+    pipeline triples enriched with a deterministic partial 'based_in'
+    head (even customer ids) so the works_for∧located_in ⇒ based_in
+    rule carries a non-trivial mined confidence."""
+    from palladian_spark.operators.kg_fusion import mine_chain_rules
+    t = _q_triples(spark, sf_dir).select("subj", "pred", "obj")
+    wf = t.where(F.col("pred") == "works_for") \
+        .select(F.col("subj").alias("x"), F.col("obj").alias("y"))
+    li = t.where(F.col("pred") == "located_in") \
+        .select(F.col("subj").alias("y"), F.col("obj").alias("z"))
+    based = (wf.join(li, "y")
+             .where(F.regexp_extract("x", r"C(\d+)$", 1).cast("int")
+                    % 2 == 0)
+             .select("x", F.lit("based_in").alias("pred"),
+                     F.col("z").alias("obj"))
+             .withColumnRenamed("x", "subj").distinct())
+    return mine_chain_rules(t.unionByName(based), min_support=2)
+
+
 def _kg_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observation-level triples with timestamps: the pipeline's triples
     joined to the distinct (conv, turn, ts) turn timestamps (duplicate
@@ -1870,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degrees_incremental": _q_kg_degrees_incremental,
         "kg_inverse_relations": _q_kg_inverse_relations,
         "kg_neighborhood_features": _q_kg_neighborhood_features,
+        "kg_rule_mining": _q_kg_rule_mining,
         "schema_induction": _q_schema_induction,
         "export_ntriples": _q_export_ntriples,
         "canonicalize_surfaces": _q_canonicalize_surfaces,
@@ -3424,6 +3445,31 @@ SELECT deg.node, deg.out_degree, deg.in_degree,
          AS nbr_out_degree_mean
 FROM deg LEFT JOIN po ON deg.node = po.node
          LEFT JOIN nb ON deg.node = nb.node
+""",
+        "kg_rule_mining": _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
+        FROM base
+        UNION SELECT DISTINCT supp, 'located_in', nat FROM base),
+bd AS (SELECT DISTINCT b1.subj AS subj, 'based_in' AS pred, b2.obj AS obj
+       FROM t b1 JOIN t b2 ON b1.obj = b2.subj
+       WHERE b1.pred = 'works_for' AND b2.pred = 'located_in'
+         AND CAST(regexp_extract(b1.subj, 'C(\\d+)$', 1) AS INT) % 2 = 0),
+t2 AS (SELECT subj, pred, obj FROM t UNION SELECT * FROM bd),
+chain AS (SELECT DISTINCT a.pred AS body_p, b.pred AS body_q,
+                 a.subj AS x, b.obj AS z
+          FROM t2 a JOIN t2 b ON a.obj = b.subj),
+body AS (SELECT body_p, body_q, CAST(count(*) AS BIGINT) n_body
+         FROM chain GROUP BY 1, 2),
+heads AS (SELECT chain.body_p, chain.body_q, h.pred AS head_r,
+                 CAST(count(*) AS BIGINT) n_match
+          FROM chain JOIN t2 h ON chain.x = h.subj AND chain.z = h.obj
+          GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+SELECT heads.body_p, heads.body_q, heads.head_r, body.n_body,
+       heads.n_match,
+       round(CAST(heads.n_match AS DOUBLE) / body.n_body, 6) + 0.0
+         AS confidence
+FROM heads JOIN body ON heads.body_p = body.body_p
+                    AND heads.body_q = body.body_q
 """,
         "kg_inverse_relations": _BASE_CTE + """
 , t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj

@@ -307,3 +307,52 @@ def inverse_relation_candidates(triples: DataFrame,
                      + F.lit(0.0)).alias("conf_fwd"),
                     (F.round(F.col("overlap") / F.col("n_inv"), 6)
                      + F.lit(0.0)).alias("conf_bwd")))
+
+
+def mine_chain_rules(triples: DataFrame, min_support: int = 2,
+                     max_body_pairs: int | None = None) -> DataFrame:
+    """AMIE-lite rule mining: score every length-2 chain rule
+    p(x,y) ∧ q(y,z) ⇒ r(x,z) the KG itself supports — the learned
+    counterpart to :func:`infer_triples`'s fixed rule list (mine here,
+    freeze the confident rules there).
+
+    Per (body_p, body_q, head_r): n_body = |distinct (x,z) chain pairs|,
+    n_match = how many of those are asserted under r, and confidence =
+    n_match / n_body (PCA-free standard confidence, rounded to 6
+    decimals).  Rules below ``min_support`` matches are dropped.
+
+    Shape: one self-join on the shared entity y (the 2-hop walk the
+    closure/triangle ops already do), a distinct on (p, q, x, z), one
+    join against the edge set on the (x, z) key, two hash aggs.  The
+    body join fans out on hub entities exactly like transitive_closure's
+    first round — AQE skew-split applies; ``max_body_pairs`` (when set)
+    fails loudly if a (p, q) body explodes past the cap instead of
+    melting an executor.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    a = t.select(F.col("subj").alias("x"), F.col("pred").alias("body_p"),
+                 F.col("obj").alias("y"))
+    b = t.select(F.col("subj").alias("y"), F.col("pred").alias("body_q"),
+                 F.col("obj").alias("z"))
+    chain = (a.join(b, "y")
+             .select("body_p", "body_q", "x", "z").distinct())
+    if max_body_pairs is not None:
+        sizes = (chain.groupBy("body_p", "body_q")
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .where(F.col("n") > int(max_body_pairs)))
+        if sizes.take(1):
+            raise ValueError(
+                f"chain body exceeds max_body_pairs={max_body_pairs}; "
+                "raise the cap or pre-filter predicates")
+    body = (chain.groupBy("body_p", "body_q")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_body")))
+    heads = (chain.join(t.select(F.col("subj").alias("x"),
+                                 F.col("pred").alias("head_r"),
+                                 F.col("obj").alias("z")), ["x", "z"])
+             .groupBy("body_p", "body_q", "head_r")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_match"))
+             .where(F.col("n_match") >= int(min_support)))
+    return (heads.join(body, ["body_p", "body_q"])
+            .select("body_p", "body_q", "head_r", "n_body", "n_match",
+                    (F.round(F.col("n_match") / F.col("n_body"), 6)
+                     + F.lit(0.0)).alias("confidence")))

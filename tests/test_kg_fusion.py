@@ -111,3 +111,36 @@ def test_inverse_relation_candidates(spark):
     assert bwd["conf_fwd"] == 1.0
     assert set(out) == {("knows", "knows"), ("parent_of", "child_of"),
                         ("child_of", "parent_of")}
+
+
+def test_mine_chain_rules_confidence(spark):
+    from palladian_spark.operators.kg_fusion import mine_chain_rules
+    # parent_of(x,y) ∧ parent_of(y,z) ⇒ grandparent_of(x,z) holds for 2
+    # of 3 chain pairs; sibling rule falls below min_support.
+    t = spark.createDataFrame(
+        [("a", "parent_of", "b"), ("b", "parent_of", "c"),
+         ("d", "parent_of", "e"), ("e", "parent_of", "f"),
+         ("g", "parent_of", "h"), ("h", "parent_of", "i"),
+         ("a", "grandparent_of", "c"), ("d", "grandparent_of", "f"),
+         ("x", "sibling_of", "y"), ("y", "sibling_of", "z"),
+         ("x", "knows", "z")],
+        ["subj", "pred", "obj"])
+    out = {(r["body_p"], r["body_q"], r["head_r"]): r
+           for r in mine_chain_rules(t, min_support=2).collect()}
+    r = out[("parent_of", "parent_of", "grandparent_of")]
+    # bodies: (a,c), (d,f), (g,i) + the cross-chain (a..?) none; = 3
+    assert (r["n_body"], r["n_match"]) == (3, 2)
+    assert abs(r["confidence"] - round(2 / 3, 6)) < 1e-9
+    # the 1-match sibling⇒knows rule is below min_support
+    assert ("sibling_of", "sibling_of", "knows") not in out
+
+
+def test_mine_chain_rules_body_cap(spark):
+    import pytest
+    from palladian_spark.operators.kg_fusion import mine_chain_rules
+    t = spark.createDataFrame(
+        [(f"s{i}", "p", "hub") for i in range(5)]
+        + [("hub", "p", f"o{i}") for i in range(5)],
+        ["subj", "pred", "obj"])
+    with pytest.raises(ValueError, match="max_body_pairs"):
+        mine_chain_rules(t, min_support=1, max_body_pairs=10)
