@@ -174,3 +174,41 @@ def current_degrees(spark: SparkSession, output_dir: str) -> DataFrame:
             .parquet(f"{output_dir}/degrees/batch=*")
             .where(F.col("batch") == int(last))
             .select("node", "out_degree", "in_degree"))
+
+
+def compact_stores(spark: SparkSession, output_dir: str,
+                   stores: tuple = ("evidence_delta", "edges")) -> dict:
+    """Compact the append-only per-batch stores: fold every ``batch=K``
+    partition into a single consolidated ``batch=<max K>`` directory.
+
+    Totals are invariant (fold_evidence sums across partitions; the
+    novel-edge store is a disjoint union), and future batches are
+    unaffected — their base reads filter ``batch < N`` with N strictly
+    above every compacted id.  This is the maintenance step that keeps
+    file counts bounded on a long-running stream; on a real deployment
+    it maps to an Iceberg ``rewrite_data_files`` compaction — here it is
+    a materialize → swap of local parquet directories.
+
+    Returns {store: n_batches_compacted}.
+    """
+    import glob
+    import os
+    import shutil
+
+    result = {}
+    for store in stores:
+        base = f"{output_dir}/{store}"
+        parts = sorted(glob.glob(f"{base}/batch=*"))
+        if len(parts) <= 1:
+            result[store] = 0
+            continue
+        top = max(int(os.path.basename(p).split("=")[1]) for p in parts)
+        df = (spark.read.option("basePath", base)
+              .parquet(f"{base}/batch=*").drop("batch"))
+        tmp = f"{base}/_compact_tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        for p in parts:
+            shutil.rmtree(p)
+        os.rename(tmp, f"{base}/batch={top}")
+        result[store] = len(parts)
+    return result

@@ -109,3 +109,41 @@ def test_streaming_matches_batch_recompute(spark, workdir):
         .parquet(f"{out_dir}/edges/batch=*")
     assert edges.count() == \
         full.select("subj", "pred", "obj").distinct().count()
+
+
+def test_compact_stores_preserves_folds(spark, tmp_path):
+    from palladian_spark.streaming.kg_maintain import compact_stores
+    out = str(tmp_path / "out")
+    for i, rows in enumerate([[("a", "p", "b"), ("a", "p", "b")],
+                              [("b", "p", "c")],
+                              [("a", "p", "b"), ("c", "p", "d")]]):
+        _maintain_batch(spark, spark.createDataFrame(
+            rows, ["subj", "pred", "obj"]), i, out)
+    ev_before = {(r["subj"], r["obj"]): r["n_obs"]
+                 for r in fold_evidence(spark, out).collect()}
+    deg_before = _degree_map(current_degrees(spark, out))
+    n = compact_stores(spark, out)
+    assert n == {"evidence_delta": 3, "edges": 3}
+    assert {(r["subj"], r["obj"]): r["n_obs"]
+            for r in fold_evidence(spark, out).collect()} == ev_before
+    # a further batch after compaction still anti-joins correctly
+    _maintain_batch(spark, spark.createDataFrame(
+        [("a", "p", "b"), ("d", "p", "e")], ["subj", "pred", "obj"]), 3, out)
+    deg = _degree_map(current_degrees(spark, out))
+    # d already carried in-degree 1 from batch 2's (c, p, d)
+    assert deg["d"] == (1, 1) and deg["e"] == (0, 1)
+    assert deg["a"] == deg_before["a"]  # repeated edge adds no degree
+    ev = {(r["subj"], r["obj"]): r["n_obs"]
+          for r in fold_evidence(spark, out).collect()}
+    assert ev[("a", "b")] == 4  # 2 + 1 + 1 across compaction boundary
+
+
+def test_run_kg_maintain_job(spark, workdir, capsys):
+    import json as _json
+    from jobs.run_kg_maintain import main
+    in_dir, out_dir = str(workdir / "in"), str(workdir / "out")
+    _write_batch(spark, in_dir, "b1", 3)
+    assert main(["--input", in_dir, "--output", out_dir, "--compact"],
+                stop=False) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["nodes"] > 0

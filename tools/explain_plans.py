@@ -84,6 +84,15 @@ INSPECT = [
     ("kg_closure", False),       # localCheckpoint truncates Arrow input
     ("kg_modularity", True),     # LPA labels + edge aggs, Catalyst
     ("kg_quotient", True),       # label joins + one hash agg
+    # round-4 fourth window: temporal / incremental / rule layers
+    ("kg_as_of", True),          # SCD2 windows + as-of filter, Catalyst
+    ("kg_top_facts", True),      # evidence agg + per-subject window
+    ("kg_edges_decayed", True),  # broadcast max-ts + bucket expr + agg
+    ("kg_degrees_incremental", True),  # diff + delta merge, Catalyst
+    ("cooccurrence_pmi", True),  # pair aggs + marginal joins
+    ("kg_inverse_relations", True),  # edge-vs-reversal self-join
+    ("kg_neighborhood_features", True),  # degree joins + nbr agg
+    ("kg_rule_mining", True),    # 2-hop body join + head join
 ]
 
 PY_NODE_RE = re.compile(
