@@ -129,8 +129,30 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         return triples.select(F.col("subj").alias("u"),
                               F.col("obj").alias("v")).union(closure)
 
+    from palladian_spark.data.transcripts import tpch_transcripts_df
+    from palladian_spark.graph import neighborhood_features
+    from palladian_spark.operators.kg_fusion import (
+        inverse_relation_candidates, mine_chain_rules)
+    from palladian_spark.operators.kg_temporal import (
+        fact_transitions, recency_weighted_edges, top_facts)
+    tst = (tpch_transcripts_df(spark, sf_dir)
+           .select("conv_id", "turn_idx", "ts").distinct())
+    obs = (triples.join(tst, ["conv_id", "turn_idx"])
+           .select("subj", "pred", "obj", "ts", "conv_id", "turn_idx")
+           .distinct().cache())
+    obs.count()
+
     for gname, gfn in [
         ("kg_degrees", lambda: kg_degrees(triples)),
+        # round-4 fourth window: temporal / incremental / rule layers
+        # (marginal cost on the materialized triple/observation tables)
+        ("fact_transitions", lambda: fact_transitions(obs)),
+        ("kg_top_facts", lambda: top_facts(obs, k=3)),
+        ("kg_edges_decayed", lambda: recency_weighted_edges(obs)),
+        ("kg_neighborhood_features", lambda: neighborhood_features(triples)),
+        ("kg_inverse_relations", lambda: inverse_relation_candidates(
+            triples, min_overlap=2)),
+        ("kg_rule_mining", lambda: mine_chain_rules(triples, min_support=2)),
         ("kg_pagerank", lambda: pagerank(
             triples.select(F.col("subj").alias("src"),
                            F.col("obj").alias("dst")), n_iter=3)),
@@ -167,6 +189,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         extra[f"graph_marginal_{gname}_sec"] = round(best, 3)
+    obs.unpersist()
     triples.unpersist()
 
     # throughput: triples/sec and turns/sec for the flagship
