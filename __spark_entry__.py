@@ -562,6 +562,22 @@ def _q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_entities(_er_part_records(spark, sf_dir), threshold=0.7)
 
 
+def _q_er_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-ID continuity across ER re-runs
+    (entity_resolution.stable_canonical_ids): exact-name assignments
+    from the even-id snapshot vs the full snapshot; every continued
+    cluster keeps its old canonical id, births mint their own."""
+    from palladian_spark.operators.entity_resolution import (
+        stable_canonical_ids)
+    from pyspark.sql import Window
+    rec = _er_part_records(spark, sf_dir)
+    w = Window.partitionBy("name")
+    new = rec.select("rec_id", F.min("rec_id").over(w).alias("canonical_id"))
+    old = (rec.where(F.col("rec_id") % 2 == 0)
+           .select("rec_id", F.min("rec_id").over(w).alias("canonical_id")))
+    return stable_canonical_ids(old, new)
+
+
 def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures over 3-token shingles of documents (dedup
     building block): 4 hash seeds, md5-derived 32-bit values — engine-
@@ -1847,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full SQL-replay oracles since round 3 but no green driver row).
         "er_match_pairs": _q_er_match_pairs,
         "er_clusters": _q_er_clusters,
+        "er_stable_ids": _q_er_stable_ids,
         "kg_closure": _q_kg_closure,
         "kg_modularity": _q_kg_modularity,
         "kg_quotient": _q_kg_quotient,
@@ -2838,6 +2855,29 @@ def oracle_sql() -> dict[str, str]:
 SELECT a_id, b_id, round(lev, 6) AS lev_sim, round(dice, 6) AS dice_sim,
        round(0.5 * lev + 0.5 * dice, 6) AS score
 FROM er_p WHERE round(0.5 * lev + 0.5 * dice, 6) >= 0.7
+""",
+        "er_stable_ids": """
+WITH rec AS (SELECT p_partkey AS rec_id, p_name AS name FROM part),
+newr AS (SELECT rec_id, min(rec_id) OVER (PARTITION BY name)
+                AS canonical_id FROM rec),
+oldr AS (SELECT rec_id, min(rec_id) OVER (PARTITION BY name) AS old_id
+         FROM rec WHERE rec_id % 2 = 0),
+ov AS (SELECT canonical_id, old_id, CAST(count(*) AS BIGINT) n_overlap
+       FROM newr JOIN oldr USING (rec_id) GROUP BY 1, 2),
+cand AS (SELECT * FROM (
+           SELECT *, row_number() OVER (PARTITION BY canonical_id
+                       ORDER BY n_overlap DESC, old_id) AS r FROM ov)
+         WHERE r = 1),
+winners AS (SELECT canonical_id, old_id, n_overlap FROM (
+              SELECT *, row_number() OVER (PARTITION BY old_id
+                          ORDER BY n_overlap DESC, canonical_id) AS r2
+              FROM cand)
+            WHERE r2 = 1),
+members AS (SELECT canonical_id, CAST(count(*) AS BIGINT) n_members
+            FROM newr GROUP BY 1)
+SELECT m.canonical_id, COALESCE(w.old_id, m.canonical_id) AS stable_id,
+       m.n_members, COALESCE(w.n_overlap, 0) AS n_inherited
+FROM members m LEFT JOIN winners w ON m.canonical_id = w.canonical_id
 """,
         "er_clusters": "WITH RECURSIVE " + _ER_PAIRS_CTES + """,
 er_mp AS (

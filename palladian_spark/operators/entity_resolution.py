@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from palladian_spark.graph import connected_components
 from palladian_spark.linking import normalize_surface
@@ -205,3 +205,51 @@ def resolve_entities(records: DataFrame, id_col: str = "rec_id",
                 F.count(F.lit(1)).cast("long").alias("cluster_size")))
     return labeled.join(agg, "_grp") \
         .select("rec_id", "canonical_id", "cluster_size")
+
+
+def stable_canonical_ids(old_assign: DataFrame,
+                         new_assign: DataFrame) -> DataFrame:
+    """Canonical-ID continuity across ER re-runs: keep yesterday's ids
+    wherever a cluster demonstrably continues, so downstream tables
+    don't churn every snapshot.
+
+    Inputs are (rec_id, canonical_id) assignments from two ER runs over
+    overlapping record sets.  Per new cluster: the old canonical with
+    the LARGEST record overlap (ties → lexicographically smallest old
+    id) is its inheritance candidate; when two new clusters claim the
+    same old id (a split), only the larger-overlap one keeps it (ties →
+    smallest new canonical) and the loser mints its own new canonical as
+    the stable id, as do clusters with no old overlap (births).
+
+    Output per new cluster: (canonical_id, stable_id, n_members,
+    n_inherited) where n_inherited is the overlap backing the
+    inheritance (0 for births/split losers).  Deterministic: both
+    rankings are total orders.
+
+    Shape: one join on rec_id (the only record-sized shuffle), a
+    cluster-pair overlap agg, two row_number windows over tables that
+    are CLUSTER-pair sized, one membership agg — no quadratic work.
+    """
+    old = old_assign.select("rec_id", F.col("canonical_id").alias("old_id"))
+    new = new_assign.select("rec_id", "canonical_id")
+    ov = (new.join(old, "rec_id")
+          .groupBy("canonical_id", "old_id")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_overlap")))
+    w_best_old = Window.partitionBy("canonical_id").orderBy(
+        F.col("n_overlap").desc(), F.col("old_id").asc())
+    cand = (ov.withColumn("_r", F.row_number().over(w_best_old))
+            .where(F.col("_r") == 1).drop("_r"))
+    w_best_new = Window.partitionBy("old_id").orderBy(
+        F.col("n_overlap").desc(), F.col("canonical_id").asc())
+    winners = (cand.withColumn("_r", F.row_number().over(w_best_new))
+               .where(F.col("_r") == 1)
+               .select("canonical_id", "old_id", "n_overlap"))
+    members = (new.groupBy("canonical_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_members")))
+    return (members.join(winners, "canonical_id", "left")
+            .select("canonical_id",
+                    F.coalesce("old_id", F.col("canonical_id"))
+                    .alias("stable_id"),
+                    "n_members",
+                    F.coalesce("n_overlap", F.lit(0)).cast("long")
+                    .alias("n_inherited")))

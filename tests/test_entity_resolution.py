@@ -141,3 +141,38 @@ def test_distinct_name_collapse_equals_record_level_bruteforce(spark):
     for canon, members in by_canon.items():
         assert min(m["rec_id"] for m in members) == canon
         assert all(m["cluster_size"] == len(members) for m in members)
+
+
+def test_stable_canonical_ids_inherit_birth_split(spark):
+    from palladian_spark.operators.entity_resolution import (
+        stable_canonical_ids)
+    # old run: cluster o1 = {r1, r2, r3}; cluster o9 = {r9}
+    old = spark.createDataFrame(
+        [("r1", "o1"), ("r2", "o1"), ("r3", "o1"), ("r9", "o9")],
+        ["rec_id", "canonical_id"])
+    # new run: o1 SPLIT into n1 = {r1, r2, r4} and n2 = {r3, r5};
+    # n9 continues o9; n7 = {r7} is a birth
+    new = spark.createDataFrame(
+        [("r1", "n1"), ("r2", "n1"), ("r4", "n1"),
+         ("r3", "n2"), ("r5", "n2"),
+         ("r9", "n9"), ("r7", "n7")],
+        ["rec_id", "canonical_id"])
+    out = {r["canonical_id"]: (r["stable_id"], r["n_members"],
+                               r["n_inherited"])
+           for r in stable_canonical_ids(old, new).collect()}
+    assert out["n1"] == ("o1", 3, 2)   # larger-overlap side keeps o1
+    assert out["n2"] == ("n2", 2, 0)   # split loser mints its own id
+    assert out["n9"] == ("o9", 1, 1)   # 1:1 continuation
+    assert out["n7"] == ("n7", 1, 0)   # birth
+
+
+def test_stable_canonical_ids_tiebreaks(spark):
+    from palladian_spark.operators.entity_resolution import (
+        stable_canonical_ids)
+    old = spark.createDataFrame(
+        [("r1", "oA"), ("r2", "oB")], ["rec_id", "canonical_id"])
+    # one new cluster overlaps oA and oB equally → smallest old id wins
+    new = spark.createDataFrame(
+        [("r1", "n1"), ("r2", "n1")], ["rec_id", "canonical_id"])
+    [row] = stable_canonical_ids(old, new).collect()
+    assert row["stable_id"] == "oA" and row["n_inherited"] == 1
