@@ -1,0 +1,143 @@
+"""Graph layer at scale: time the core KG analytics on a synthetic
+multi-million-edge graph — evidence the graph operators (not just the
+extraction flagship) hold far past sf0.1's vocabulary-sized entity graph.
+
+The extraction pipeline's own graph is bounded by the entity dictionary
+(dozens of nodes at any sf), so this bench builds the graph a REAL
+10^12-turn deployment would hand the analytics layer: dense-encoded
+int64 node ids (the `encode_triples` output shape), every column a
+Catalyst expression of the row id (the distributed recipe that makes any
+size on a real cluster), uniform src, 2% hub mass on dst (hot-entity
+skew stays in the measured path), 8 predicates.
+
+The graph is materialized once; each row below is the MARGINAL cost of
+that analytic.  Transitive closure is deliberately absent: on a giant
+component it is all-pairs-sized by definition — its scale path is the
+bounded-depth BFS/motif ops.  Writes BENCH_graph_scale.json and splices
+a section into BENCH.md.
+
+Usage: python tools/graph_scale_bench.py [n_edges] [n_nodes] [cpus]
+       # default 4_000_000 edges over 1_000_000 nodes, local[8]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def synthetic_kg(spark, n_edges: int, n_nodes: int, hub_every: int = 50):
+    """Deterministic skewed triple table, all-Catalyst: (subj, pred, obj)
+    as int64 node ids / short predicate labels."""
+    from pyspark.sql import functions as F
+    ids = spark.range(n_edges)
+    src = F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_nodes))
+    base_dst = F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_nodes))
+    hub = F.pmod(F.xxhash64("id", F.lit(3)), F.lit(hub_every)) == 0
+    dst = F.when(hub, F.lit(0)).otherwise(base_dst)
+    pred = F.concat(F.lit("p"),
+                    F.pmod(F.xxhash64("id", F.lit(4)), F.lit(8)))
+    return ids.select(src.alias("subj"), pred.alias("pred"),
+                      dst.alias("obj")).where(F.col("subj") != F.col("obj"))
+
+
+def main() -> None:
+    n_edges_in = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    n_nodes = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+    from palladian_spark.session import get_spark
+    from palladian_spark.graph import (connected_components_star, kcore,
+                                       kg_degrees, kg_summary, kg_triangles,
+                                       label_propagation, pagerank,
+                                       random_walks)
+    from palladian_spark.operators.kg_fusion import (mine_chain_rules,
+                                                     relation_cardinality)
+
+    spark = get_spark("graph-scale-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    triples = synthetic_kg(spark, n_edges_in, n_nodes) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    n_triples = triples.count()
+    edges = (triples.select(F.col("subj").alias("src"),
+                            F.col("obj").alias("dst"))
+             .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    n_edges = edges.count()
+    build_s = time.time() - t0
+
+    rows = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        n = fn().count()
+        rows[name] = {"seconds": round(time.time() - t0, 2), "rows": n}
+        print(f"{name:24s} {rows[name]['seconds']:8.2f}s rows={n}",
+              flush=True)
+
+    und = edges.select(F.col("src").alias("a_id"), F.col("dst").alias("b_id"))
+    timed("kg_degrees", lambda: kg_degrees(triples))
+    timed("kg_summary", lambda: kg_summary(triples))
+    timed("pagerank_3it", lambda: pagerank(edges, n_iter=3))
+    timed("components_star", lambda: connected_components_star(und))
+    timed("label_propagation_2it", lambda: label_propagation(edges, n_iter=2))
+    timed("kcore_k3", lambda: kcore(edges, k=3, rounds=3))
+    timed("triangles", lambda: kg_triangles(edges, src_col="src",
+                                            dst_col="dst"))
+    timed("random_walks_l3", lambda: random_walks(edges, walk_len=3,
+                                                  id_strategy="hash"))
+    timed("relation_cardinality", lambda: relation_cardinality(triples))
+    timed("rule_mining_s1000", lambda: mine_chain_rules(triples,
+                                                        min_support=1000))
+
+    result = {"n_edges_in": n_edges_in, "n_nodes": n_nodes, "cpus": cpus,
+              "n_triples": n_triples, "n_distinct_edges": n_edges,
+              "build_seconds": round(build_s, 2), "ops": rows,
+              "measured_at": time.strftime("%Y-%m-%d %H:%M:%S")}
+    with open(os.path.join(REPO, "BENCH_graph_scale.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+    lines = [
+        "## Graph layer at scale (tools/graph_scale_bench.py)", "",
+        f"Input: deterministic skewed synthetic KG — {n_triples:,} triples "
+        f"/ {n_edges:,} distinct edges over ~{n_nodes:,} int64 node ids "
+        "(2% of edges land on one hub; 8 predicates), materialized in "
+        f"{build_s:.1f}s on local[{cpus}].  The extraction pipeline's own "
+        "graph is entity-dictionary-bounded (dozens of nodes at any sf), "
+        "so this is the dense-encoded graph shape a 10^12-turn deployment "
+        "hands the analytics layer.  Each row is the MARGINAL cost on the "
+        "materialized graph.", "",
+        "| analytic | wall (s) | output rows |", "|---|---|---|"]
+    for name, r in rows.items():
+        lines.append(f"| {name} | {r['seconds']} | {r['rows']:,} |")
+    lines.append("")
+    lines.append(
+        f"Measured {result['measured_at']}.  Transitive closure is "
+        "deliberately absent: on a giant component it is all-pairs-sized; "
+        "its scale path is bounded-depth BFS/motifs.")
+    section = "\n".join(lines) + "\n"
+
+    bench_md = os.path.join(REPO, "BENCH.md")
+    text = open(bench_md).read()
+    pat = re.compile(r"## Graph layer at scale.*?(?=\n## |\Z)", re.S)
+    if pat.search(text):
+        text = pat.sub(section, text)
+    else:
+        text = text.rstrip() + "\n\n" + section
+    open(bench_md, "w").write(text)
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
