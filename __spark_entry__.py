@@ -1175,6 +1175,24 @@ def _q_kg_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mine_chain_rules(t.unionByName(based), min_support=2)
 
 
+def _q_kg_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-majority type inference (graph.infer_node_types):
+    customers (PER) and nations (LOC) seed the propagation; suppliers —
+    deliberately unseeded — adopt the majority type of their typed
+    neighbors (ties → type name ascending), two rounds."""
+    from palladian_spark.graph import infer_node_types
+    t = _q_triples(spark, sf_dir).select("subj", "pred", "obj")
+    edges = t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    nodes = (t.select(F.col("subj").alias("node"))
+             .unionAll(t.select(F.col("obj").alias("node"))).distinct())
+    seeds = (nodes.where(F.col("node").startswith("Customer "))
+             .select("node", F.lit("PER").alias("type"))
+             .unionByName(
+                 nodes.where(F.col("node").startswith("Nation "))
+                 .select("node", F.lit("LOC").alias("type"))))
+    return infer_node_types(edges, seeds, n_rounds=2)
+
+
 def _kg_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observation-level triples with timestamps: the pipeline's triples
     joined to the distinct (conv, turn, ts) turn timestamps (duplicate
@@ -1861,6 +1879,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-round sweep: newest queries first, then the block that was
         # absent from the round-3 sample (incl. the two ANN queries with
         # full SQL-replay oracles since round 3 but no green driver row).
+        # round-4 fourth window (never driver-verified yet):
+        "kg_as_of": _q_kg_as_of,
+        "kg_edges_decayed": _q_kg_edges_decayed,
+        "kg_top_facts": _q_kg_top_facts,
+        "kg_degrees_incremental": _q_kg_degrees_incremental,
+        "kg_inverse_relations": _q_kg_inverse_relations,
+        "kg_neighborhood_features": _q_kg_neighborhood_features,
+        "kg_rule_mining": _q_kg_rule_mining,
+        "kg_type_inference": _q_kg_type_inference,
+        "cooccurrence_pmi": _q_cooccurrence_pmi,
         "er_match_pairs": _q_er_match_pairs,
         "er_clusters": _q_er_clusters,
         "er_stable_ids": _q_er_stable_ids,
@@ -1901,13 +1929,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_summary": _q_kg_summary,
         "fact_transitions": _q_fact_transitions,
         "entity_timeline": _q_entity_timeline,
-        "kg_as_of": _q_kg_as_of,
-        "kg_edges_decayed": _q_kg_edges_decayed,
-        "kg_top_facts": _q_kg_top_facts,
-        "kg_degrees_incremental": _q_kg_degrees_incremental,
-        "kg_inverse_relations": _q_kg_inverse_relations,
-        "kg_neighborhood_features": _q_kg_neighborhood_features,
-        "kg_rule_mining": _q_kg_rule_mining,
         "schema_induction": _q_schema_induction,
         "export_ntriples": _q_export_ntriples,
         "canonicalize_surfaces": _q_canonicalize_surfaces,
@@ -1972,7 +1993,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "case_dictionary": _q_case_dictionary,
         "mine_patterns": _q_mine_patterns,
         "cooccurrence": _q_cooccurrence,
-        "cooccurrence_pmi": _q_cooccurrence_pmi,
         "lsh_dedup_pairs": _q_lsh_dedup,
         "simhash": _q_simhash,
         "ngram_jaccard_neardup": _q_ngram_jaccard_neardup,
@@ -3485,6 +3505,39 @@ SELECT deg.node, deg.out_degree, deg.in_degree,
          AS nbr_out_degree_mean
 FROM deg LEFT JOIN po ON deg.node = po.node
          LEFT JOIN nb ON deg.node = nb.node
+""",
+        "kg_type_inference": _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
+        FROM base
+        UNION SELECT DISTINCT supp, 'located_in', nat FROM base),
+und AS (SELECT DISTINCT a, b FROM (
+          SELECT subj AS a, obj AS b FROM t
+          UNION ALL SELECT obj, subj FROM t)
+        WHERE a <> b),
+seeds AS (SELECT node, tp, 0 AS rnd FROM (
+            SELECT DISTINCT subj AS node, 'PER' AS tp FROM t
+            WHERE subj LIKE 'Customer %'
+            UNION SELECT DISTINCT obj, 'LOC' FROM t
+            WHERE obj LIKE 'Nation %')),
+v1 AS (SELECT und.b AS node, s.tp, count(*) AS n
+       FROM und JOIN seeds s ON und.a = s.node
+       WHERE und.b NOT IN (SELECT node FROM seeds)
+       GROUP BY 1, 2),
+p1 AS (SELECT node, tp, 1 AS rnd FROM (
+         SELECT *, row_number() OVER (PARTITION BY node
+                     ORDER BY n DESC, tp) AS r FROM v1)
+       WHERE r = 1),
+t1 AS (SELECT * FROM seeds UNION ALL SELECT * FROM p1),
+v2 AS (SELECT und.b AS node, s.tp, count(*) AS n
+       FROM und JOIN t1 s ON und.a = s.node
+       WHERE und.b NOT IN (SELECT node FROM t1)
+       GROUP BY 1, 2),
+p2 AS (SELECT node, tp, 2 AS rnd FROM (
+         SELECT *, row_number() OVER (PARTITION BY node
+                     ORDER BY n DESC, tp) AS r FROM v2)
+       WHERE r = 1)
+SELECT node, tp AS type, CAST(rnd AS INT) AS round
+FROM (SELECT * FROM t1 UNION ALL SELECT * FROM p2)
 """,
         "kg_rule_mining": _BASE_CTE + """
 , t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj

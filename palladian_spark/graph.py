@@ -1258,3 +1258,43 @@ def neighborhood_features(triples: DataFrame) -> DataFrame:
                 (F.round(F.col("nbr_out_degree_sum")
                          / F.col("n_nbrs_out"), 6) + F.lit(0.0))
                 .alias("nbr_out_degree_mean")))
+
+
+def infer_node_types(edges: DataFrame, seed_types: DataFrame,
+                     n_rounds: int = 2,
+                     src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """KG completion: propagate entity types from typed seed nodes to
+    untyped neighbors by majority vote, ``n_rounds`` hops out — the
+    type-inference pass for mentions the entity dictionary could not
+    link (their class is usually recoverable from what they connect to).
+
+    Each round, every still-untyped node adjacent (undirected) to typed
+    nodes adopts the majority neighbor type, ties broken by type name
+    ascending — deterministic, so the rounds replay exactly in SQL.
+    Output: (node, type, round) with round 0 = seed, k = inferred in
+    round k.  Nodes never reached stay absent.
+
+    Shape: per round one join of the symmetric edge set against the
+    typed frontier + one argmax agg — label propagation's cost profile
+    with an anti-join instead of relabeling; O(n_rounds) shuffles total.
+    """
+    und = (edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+           .unionAll(edges.select(F.col(dst_col).alias("a"),
+                                  F.col(src_col).alias("b")))
+           .where(F.col("a") != F.col("b")).distinct())
+    typed = seed_types.select("node", "type",
+                              F.lit(0).alias("round"))
+    for k in range(1, int(n_rounds) + 1):
+        votes = (und.join(typed.select(F.col("node").alias("a"), "type"),
+                          "a")
+                 .join(typed.select(F.col("node").alias("b")), "b",
+                       "left_anti")
+                 .groupBy(F.col("b").alias("node"), "type")
+                 .agg(F.count(F.lit(1)).alias("n")))
+        w = Window.partitionBy("node").orderBy(F.col("n").desc(),
+                                               F.col("type").asc())
+        picked = (votes.withColumn("_r", F.row_number().over(w))
+                  .where(F.col("_r") == 1)
+                  .select("node", "type", F.lit(k).alias("round")))
+        typed = typed.unionByName(picked)
+    return typed

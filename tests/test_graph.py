@@ -269,3 +269,33 @@ def test_neighborhood_features_sink_node(spark):
     assert (b["out_degree"], b["n_nbrs_out"],
             b["nbr_out_degree_sum"]) == (0, 0, 0)
     assert b["nbr_out_degree_mean"] is None
+
+
+def test_infer_node_types_majority_and_hops(spark):
+    from palladian_spark.graph import infer_node_types
+    # star: s1 has 2 PER + 1 LOC neighbors → PER; s2 has 1 LOC → LOC;
+    # far is only reachable through s1 → typed in round 2 with s1's type.
+    edges = spark.createDataFrame(
+        [("c1", "s1"), ("c2", "s1"), ("n1", "s1"),
+         ("n2", "s2"), ("s1", "far")], ["src", "dst"])
+    seeds = spark.createDataFrame(
+        [("c1", "PER"), ("c2", "PER"), ("n1", "LOC"), ("n2", "LOC")],
+        ["node", "type"])
+    out = {r["node"]: (r["type"], r["round"])
+           for r in infer_node_types(edges, seeds, n_rounds=2).collect()}
+    assert out["s1"] == ("PER", 1)
+    assert out["s2"] == ("LOC", 1)
+    assert out["far"] == ("PER", 2)
+    assert out["c1"] == ("PER", 0)
+
+
+def test_infer_node_types_tiebreak_and_unreached(spark):
+    from palladian_spark.graph import infer_node_types
+    edges = spark.createDataFrame(
+        [("c1", "s1"), ("n1", "s1"), ("iso1", "iso2")], ["src", "dst"])
+    seeds = spark.createDataFrame([("c1", "PER"), ("n1", "LOC")],
+                                  ["node", "type"])
+    out = {r["node"]: (r["type"], r["round"])
+           for r in infer_node_types(edges, seeds, n_rounds=2).collect()}
+    assert out["s1"] == ("LOC", 1)       # 1-1 tie → type asc
+    assert "iso1" not in out and "iso2" not in out
