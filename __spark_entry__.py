@@ -1193,6 +1193,18 @@ def _q_kg_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     return infer_node_types(edges, seeds, n_rounds=2)
 
 
+def _q_kg_truth_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted truth finding (kg_fusion.resolve_facts_weighted
+    over kg_temporal.recency_weighted_edges): per (subj, pred) the
+    object with the most decay-weighted evidence — fresh assertions
+    outrank stale piles."""
+    from palladian_spark.operators.kg_fusion import resolve_facts_weighted
+    from palladian_spark.operators.kg_temporal import recency_weighted_edges
+    return resolve_facts_weighted(
+        recency_weighted_edges(_kg_observations(spark, sf_dir),
+                               half_life_days=365, cap=3))
+
+
 def _kg_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observation-level triples with timestamps: the pipeline's triples
     joined to the distinct (conv, turn, ts) turn timestamps (duplicate
@@ -1888,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_neighborhood_features": _q_kg_neighborhood_features,
         "kg_rule_mining": _q_kg_rule_mining,
         "kg_type_inference": _q_kg_type_inference,
+        "kg_truth_decayed": _q_kg_truth_decayed,
         "cooccurrence_pmi": _q_cooccurrence_pmi,
         "er_match_pairs": _q_er_match_pairs,
         "er_clusters": _q_er_clusters,
@@ -3466,6 +3479,26 @@ wobs AS (SELECT subj, pred, obj,
          FROM obs CROSS JOIN nw)
 SELECT subj AS src, pred, obj AS dst, CAST(sum(w) AS BIGINT) AS weight
 FROM wobs GROUP BY 1, 2, 3
+""",
+        "kg_truth_decayed": _TS_BASE_CTE + """
+nw AS (SELECT max(ts) AS now_ts FROM obs),
+wobs AS (SELECT subj, pred, obj,
+                CAST(power(2.0, 3 - LEAST(CAST(floor(
+                    floor((epoch(now_ts) - epoch(ts)) / 86400) / 365.0)
+                    AS BIGINT), 3)) AS BIGINT) AS w
+         FROM obs CROSS JOIN nw),
+we AS (SELECT subj, pred, obj, CAST(sum(w) AS BIGINT) AS weight
+       FROM wobs GROUP BY 1, 2, 3)
+SELECT subj, pred, obj, weight,
+       CAST(n_alternatives AS BIGINT) AS n_alternatives,
+       CAST(total_weight AS BIGINT) AS total_weight
+FROM (SELECT *,
+             count(*) OVER (PARTITION BY subj, pred) AS n_alternatives,
+             sum(weight) OVER (PARTITION BY subj, pred) AS total_weight,
+             row_number() OVER (PARTITION BY subj, pred
+                                ORDER BY weight DESC, obj) AS rn
+      FROM we)
+WHERE rn = 1
 """,
         "kg_top_facts": _TS_BASE_CTE + """
 ev AS (SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS support,

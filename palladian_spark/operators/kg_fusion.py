@@ -356,3 +356,29 @@ def mine_chain_rules(triples: DataFrame, min_support: int = 2,
             .select("body_p", "body_q", "head_r", "n_body", "n_match",
                     (F.round(F.col("n_match") / F.col("n_body"), 6)
                      + F.lit(0.0)).alias("confidence")))
+
+
+def resolve_facts_weighted(weighted_edges: DataFrame) -> DataFrame:
+    """Truth finding with weighted votes: like :func:`resolve_facts`,
+    but each candidate object's support is a caller-supplied weight
+    (``(src, pred, dst, weight)`` — e.g. kg_temporal.
+    recency_weighted_edges, so a freshly-asserted object outranks a
+    larger pile of stale evidence).  Ties break by object ascending.
+
+    Output: (subj, pred, obj, weight, n_alternatives, total_weight).
+    Shape: one per-(subj, pred) window over the already-aggregated edge
+    table — edge-sized input, exact integer weights.
+    """
+    ev = weighted_edges.select(F.col("src").alias("subj"), "pred",
+                               F.col("dst").alias("obj"),
+                               F.col("weight").cast("long").alias("weight"))
+    w = Window.partitionBy("subj", "pred")
+    ranked = (ev
+              .withColumn("n_alternatives", F.count(F.lit(1)).over(w))
+              .withColumn("total_weight",
+                          F.sum("weight").over(w).cast("long"))
+              .withColumn("_rn", F.row_number().over(
+                  w.orderBy(F.col("weight").desc(), F.col("obj").asc()))))
+    return (ranked.where(F.col("_rn") == 1)
+            .select("subj", "pred", "obj", "weight",
+                    "n_alternatives", "total_weight"))

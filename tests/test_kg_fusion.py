@@ -144,3 +144,27 @@ def test_mine_chain_rules_body_cap(spark):
         ["subj", "pred", "obj"])
     with pytest.raises(ValueError, match="max_body_pairs"):
         mine_chain_rules(t, min_support=1, max_body_pairs=10)
+
+
+def test_resolve_facts_weighted_fresh_beats_stale(spark):
+    from palladian_spark.operators.kg_fusion import resolve_facts_weighted
+    # y has more raw evidence but x carries more weight (fresher)
+    we = spark.createDataFrame(
+        [("a", "p", "x", 10), ("a", "p", "y", 6),
+         ("b", "q", "z", 1)],
+        ["src", "pred", "dst", "weight"])
+    out = {(r["subj"], r["pred"]): r
+           for r in resolve_facts_weighted(we).collect()}
+    r = out[("a", "p")]
+    assert (r["obj"], r["weight"], r["n_alternatives"],
+            r["total_weight"]) == ("x", 10, 2, 16)
+    assert out[("b", "q")]["obj"] == "z"
+
+
+def test_resolve_facts_weighted_tiebreak(spark):
+    from palladian_spark.operators.kg_fusion import resolve_facts_weighted
+    we = spark.createDataFrame(
+        [("a", "p", "zz", 5), ("a", "p", "aa", 5)],
+        ["src", "pred", "dst", "weight"])
+    [r] = resolve_facts_weighted(we).collect()
+    assert r["obj"] == "aa"
