@@ -1205,6 +1205,17 @@ def _q_kg_truth_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
                                half_life_days=365, cap=3))
 
 
+def _q_kg_ego(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ego-network extraction (graph.ego_subgraph): the 2-hop undirected
+    neighborhood subgraph around the fixed seed entity 'Nation N3' —
+    the entity-card query."""
+    from palladian_spark.graph import ego_subgraph
+    t = _q_triples(spark, sf_dir).select("subj", "pred", "obj")
+    edges = t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    seeds = spark.createDataFrame([("Nation N3",)], ["node"])
+    return ego_subgraph(edges, seeds, k=2)
+
+
 def _kg_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observation-level triples with timestamps: the pipeline's triples
     joined to the distinct (conv, turn, ts) turn timestamps (duplicate
@@ -1901,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rule_mining": _q_kg_rule_mining,
         "kg_type_inference": _q_kg_type_inference,
         "kg_truth_decayed": _q_kg_truth_decayed,
+        "kg_ego": _q_kg_ego,
         "cooccurrence_pmi": _q_cooccurrence_pmi,
         "er_match_pairs": _q_er_match_pairs,
         "er_clusters": _q_er_clusters,
@@ -3479,6 +3491,25 @@ wobs AS (SELECT subj, pred, obj,
          FROM obs CROSS JOIN nw)
 SELECT subj AS src, pred, obj AS dst, CAST(sum(w) AS BIGINT) AS weight
 FROM wobs GROUP BY 1, 2, 3
+""",
+        "kg_ego": _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS subj, 'works_for' AS pred, supp AS obj
+        FROM base
+        UNION SELECT DISTINCT supp, 'located_in', nat FROM base),
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM t WHERE subj <> obj),
+nbr AS (SELECT src AS u, dst AS v FROM e
+        UNION SELECT dst, src FROM e),
+d0 AS (SELECT 'Nation N3' AS node, 0 AS dist),
+f1 AS (SELECT DISTINCT v AS node FROM nbr JOIN d0 ON nbr.u = d0.node
+       WHERE v NOT IN (SELECT node FROM d0)),
+d1 AS (SELECT node, dist FROM d0 UNION ALL SELECT node, 1 FROM f1),
+f2 AS (SELECT DISTINCT v AS node FROM nbr JOIN f1 ON nbr.u = f1.node
+       WHERE v NOT IN (SELECT node FROM d1)),
+d AS (SELECT node, dist FROM d1 UNION ALL SELECT node, 2 FROM f2)
+SELECT e.src, e.dst, CAST(ds.dist AS INT) AS src_dist,
+       CAST(dd.dist AS INT) AS dst_dist
+FROM e JOIN d ds ON e.src = ds.node
+       JOIN d dd ON e.dst = dd.node
 """,
         "kg_truth_decayed": _TS_BASE_CTE + """
 nw AS (SELECT max(ts) AS now_ts FROM obs),

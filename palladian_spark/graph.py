@@ -1298,3 +1298,28 @@ def infer_node_types(edges: DataFrame, seed_types: DataFrame,
                   .select("node", "type", F.lit(k).alias("round")))
         typed = typed.unionByName(picked)
     return typed
+
+
+def ego_subgraph(edges: DataFrame, seeds: DataFrame, k: int = 1,
+                 src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Ego network extraction: the edges whose BOTH endpoints lie within
+    ``k`` undirected hops of the seed set — the per-entity subgraph
+    behind every "entity card" / neighborhood-inspection query a KG
+    consumer runs.
+
+    Output: the qualifying edges (src, dst, src_dist, dst_dist) with
+    each endpoint's hop distance.  Composition of :func:`bfs_levels`
+    (node-sized distance table) with two semi-shaped joins back onto the
+    edge table — no explosion beyond the edge rows themselves; at 100 TB
+    the distance table is broadcastable for small ego radii.
+    """
+    dist = bfs_levels(edges, seeds, max_depth=k,
+                      src_col=src_col, dst_col=dst_col)
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .where(F.col("src") != F.col("dst")).distinct())
+    return (e.join(dist.select(F.col("node").alias("src"),
+                               F.col("dist").alias("src_dist")), "src")
+            .join(dist.select(F.col("node").alias("dst"),
+                              F.col("dist").alias("dst_dist")), "dst")
+            .select("src", "dst", "src_dist", "dst_dist"))

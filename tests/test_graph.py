@@ -299,3 +299,19 @@ def test_infer_node_types_tiebreak_and_unreached(spark):
            for r in infer_node_types(edges, seeds, n_rounds=2).collect()}
     assert out["s1"] == ("LOC", 1)       # 1-1 tie → type asc
     assert "iso1" not in out and "iso2" not in out
+
+
+def test_ego_subgraph_radius(spark):
+    from palladian_spark.graph import ego_subgraph
+    # chain a-b-c-d-e plus off-path f: 1-hop ego of c = edges b-c, c-d
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f")],
+        ["src", "dst"])
+    seeds = spark.createDataFrame([("c",)], ["node"])
+    one = {(r["src"], r["dst"]): (r["src_dist"], r["dst_dist"])
+           for r in ego_subgraph(edges, seeds, k=1).collect()}
+    assert one == {("b", "c"): (1, 0), ("c", "d"): (0, 1)}
+    two = {(r["src"], r["dst"]) for r in
+           ego_subgraph(edges, seeds, k=2).collect()}
+    # 2-hop adds a-b and d-e (both endpoints within 2), not e-f
+    assert two == {("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")}
