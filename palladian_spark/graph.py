@@ -724,10 +724,18 @@ def kcore(edges: DataFrame, k: int = 2, rounds: int = 4,
     Runs a FIXED number of rounds rather than a fixpoint driver loop so
     the result is replayable by an unrolled SQL oracle; real graphs peel
     to fixpoint within a handful of rounds (each round removes the whole
-    current shell).  Each round is one hash-agg (degree) + two semi-joins
-    restricting the symmetric edge list — no collects, survives a
-    1000-executor scale-up; the symmetric edge list is cached because
-    every round re-reads it."""
+    current shell).
+
+    The iterated state is the NODE-sized keep set, not the edge list:
+    because every keep set is a subset of the previous one, restricting
+    the edge list round-by-round equals restricting the original list by
+    the latest keep set — so each round is two semi-shaped joins of the
+    (cached) symmetric edges against the keep set + one degree agg, and
+    the per-round lineage cut materializes only node-sized state.  (The
+    first version checkpointed the surviving EDGE list each round; at
+    16M edges those per-round edge snapshots spilled and peeling went
+    8× superlinear — see BENCH.md's graph-scale table.)  No collects;
+    survives a 1000-executor scale-up."""
     from pyspark.storagelevel import StorageLevel
     e = (edges.select(F.col(src_col).alias("u"),
                       F.col(dst_col).alias("v"))
@@ -736,16 +744,18 @@ def kcore(edges: DataFrame, k: int = 2, rounds: int = 4,
                               F.col("u").alias("v"))).distinct()
     if cache:
         und = und.persist(StorageLevel.MEMORY_AND_DISK)
-    alive = und
+    keep = None
     for i in range(rounds):
+        alive = und if keep is None else (
+            und.join(keep, "u")
+               .join(keep.withColumnRenamed("u", "v"), "v")
+               .select("u", "v"))
         deg = alive.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.where(F.col("d") >= k).select("u")
-        alive = (alive
-                 .join(keep, "u")
-                 .join(keep.withColumnRenamed("u", "v"), "v")
-                 .select("u", "v"))
         # node-bounded lineage cut — rounds compose joins otherwise
-        alive = alive.localCheckpoint(eager=False)
+        keep = keep.localCheckpoint(eager=False)
+    alive = (und.join(keep, "u")
+             .join(keep.withColumnRenamed("u", "v"), "v"))
     return (alive.groupBy(F.col("u").alias("node"))
             .agg(F.count(F.lit(1)).cast("long").alias("degree")))
 
