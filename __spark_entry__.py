@@ -386,6 +386,25 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select("node", "component")
 
 
+def _q_dedup_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup clustering (graph.apply_component_delta):
+    components built over the even-doc-id pair subset, then the
+    remaining pairs folded in via the label-level quotient merge — the
+    oracle is the FULL recompute's recursive closure, pinning the
+    incremental path to it."""
+    from palladian_spark.graph import (apply_component_delta,
+                                       connected_components)
+    from palladian_spark.operators.dedup import minhash_dedup_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_dedup_pairs(docs, threshold=0.2).persist()
+    old_pairs = pairs.where((F.col("a_id") % 2 == 0)
+                            & (F.col("b_id") % 2 == 0))
+    new_pairs = pairs.subtract(old_pairs)
+    old_labels = connected_components(old_pairs)
+    return (apply_component_delta(old_labels, new_pairs)
+            .select("node", "component"))
+
+
 def _q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same near-dup cluster resolution as dedup_components, computed by
     the alternating large-star/small-star algorithm (O(log n) rounds —
@@ -1913,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_inference": _q_kg_type_inference,
         "kg_truth_decayed": _q_kg_truth_decayed,
         "kg_ego": _q_kg_ego,
+        "dedup_components_incremental": _q_dedup_components_incremental,
         "cooccurrence_pmi": _q_cooccurrence_pmi,
         "er_match_pairs": _q_er_match_pairs,
         "er_clusters": _q_er_clusters,
@@ -4127,6 +4147,7 @@ FROM documents d LEFT JOIN folded f ON d.doc_id = f.doc_id
         # pairs query's own CTEs ('e', 'sig', …) against the OUTER scope
         # when names collide
         "dedup_components": _CC_ORACLE_SQL,
+        "dedup_components_incremental": _CC_ORACLE_SQL,
         # the alternating large-star/small-star algorithm produces the
         # SAME labeling (component = min reachable node id), so the same
         # transitive-closure oracle verifies it

@@ -1333,3 +1333,51 @@ def ego_subgraph(edges: DataFrame, seeds: DataFrame, k: int = 1,
             .join(dist.select(F.col("node").alias("dst"),
                               F.col("dist").alias("dst_dist")), "dst")
             .select("src", "dst", "src_dist", "dst_dist"))
+
+
+def apply_component_delta(old_labels: DataFrame, new_pairs: DataFrame,
+                          src_col: str = "a_id", dst_col: str = "b_id",
+                          checkpoint_dir: str | None = None) -> DataFrame:
+    """Incremental connected components: fold a batch of NEW pairs into
+    an existing (node, component) labeling without touching old edges.
+
+    New pairs are projected onto component labels (endpoints unknown to
+    the old labeling label themselves), the min-label fixpoint runs on
+    that LABEL-level quotient graph — bounded by the number of
+    components the batch touches, not the graph — and old labels are
+    remapped through the result.  Equals
+    ``connected_components(old_edges ∪ new_pairs)`` exactly (min-label
+    canonicals: the merged component's label is the min of its merged
+    labels, which is the global min of its nodes); pinned by the
+    recompute-equality pytest and the ``dedup_components_incremental``
+    oracle.
+
+    At stream scale this is the O(|batch|) path that keeps the
+    dedup-cluster store current per micro-batch instead of re-running
+    components over every edge ever seen.
+    """
+    lab = old_labels.select("node", "component")
+    a = (new_pairs.select(F.col(src_col).alias("node"))
+         .unionAll(new_pairs.select(F.col(dst_col).alias("node"))))
+    new_nodes = a.distinct().join(lab.select("node"), "node", "left_anti")
+    lab_all = lab.unionByName(
+        new_nodes.select("node", F.col("node").alias("component")))
+    la = lab_all.withColumnRenamed("node", "_n").withColumnRenamed(
+        "component", "_la")
+    lb = lab_all.withColumnRenamed("node", "_m").withColumnRenamed(
+        "component", "_lb")
+    label_pairs = (new_pairs
+                   .join(la, new_pairs[src_col] == F.col("_n"))
+                   .join(lb, new_pairs[dst_col] == F.col("_m"))
+                   .select(F.col("_la").alias("a_id"),
+                           F.col("_lb").alias("b_id"))
+                   .where(F.col("a_id") != F.col("b_id")).distinct())
+    merged = connected_components(label_pairs,
+                                  checkpoint_dir=checkpoint_dir)
+    return (lab_all
+            .join(merged.select(F.col("node").alias("component"),
+                                F.col("component").alias("_new")),
+                  "component", "left")
+            .select("node",
+                    F.coalesce("_new", F.col("component"))
+                    .alias("component")))

@@ -187,3 +187,40 @@ def test_pmi_associations_min_count_filter(spark):
         ["left_value", "right_value", "n"])
     out = pmi_associations(pairs, min_count=2)
     assert [(r["a"], r["b"]) for r in out.collect()] == [("a", "b")]
+
+
+def test_apply_component_delta_matches_recompute(spark):
+    from palladian_spark.graph import (apply_component_delta,
+                                       connected_components)
+    # old graph: {1,2,3} and {5,6}; batch merges them via 3-5, adds a
+    # brand-new pair {8,9}, and an intra-component no-op 1-3
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["a_id", "b_id"])
+    new_pairs = spark.createDataFrame(
+        [(3, 5), (8, 9), (1, 3)], ["a_id", "b_id"])
+    old = connected_components(old_pairs)
+    inc = {r["node"]: r["component"]
+           for r in apply_component_delta(old, new_pairs).collect()}
+    full = {r["node"]: r["component"]
+            for r in connected_components(
+                old_pairs.unionAll(new_pairs)).collect()}
+    assert inc == full
+    assert inc[6] == 1  # transitive merge reached the old {5,6} side
+
+
+def test_apply_component_delta_chain_of_merges(spark):
+    from palladian_spark.graph import (apply_component_delta,
+                                       connected_components)
+    # three old components chained together by two new pairs — the
+    # label-level quotient must propagate transitively
+    old_pairs = spark.createDataFrame(
+        [(10, 11), (20, 21), (30, 31)], ["a_id", "b_id"])
+    new_pairs = spark.createDataFrame(
+        [(11, 20), (21, 30)], ["a_id", "b_id"])
+    old = connected_components(old_pairs)
+    inc = {r["node"]: r["component"]
+           for r in apply_component_delta(old, new_pairs).collect()}
+    full = {r["node"]: r["component"]
+            for r in connected_components(
+                old_pairs.unionAll(new_pairs)).collect()}
+    assert inc == full and set(inc.values()) == {10}

@@ -93,6 +93,10 @@ INSPECT = [
     ("kg_inverse_relations", True),  # edge-vs-reversal self-join
     ("kg_neighborhood_features", True),  # degree joins + nbr agg
     ("kg_rule_mining", True),    # 2-hop body join + head join
+    ("kg_truth_decayed", True),  # weighted edges + per-fact window
+    ("kg_type_inference", True),  # seed joins + vote aggs per round
+    ("kg_ego", True),            # BFS frontier joins + edge filter
+    ("er_stable_ids", False),    # window assigns + overlap agg
 ]
 
 PY_NODE_RE = re.compile(
