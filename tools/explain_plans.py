@@ -71,7 +71,9 @@ INSPECT = [
     ("turn_topic_shifts", False),   # per-conv window + set exprs
     ("tool_usage_stats", False),    # one hash agg
     # round-4 second window: fused linking + walk corpus + graph adds
-    ("kg_kcore", False),        # localCheckpoint truncates the Arrow input
+    ("kg_kcore", True),   # node-state rewrite: cached edges keep the Arrow
+                          # NER lineage in-plan (the old edge-level
+                          # checkpoint truncated it)
     ("kg_walks", True),         # rank-indexed adjacency joins, Catalyst
     ("kg_walks_biased", True),  # fan-out + cum-weight window, Catalyst
     ("walk_skipgrams", True),   # banded self-join on walk_id
