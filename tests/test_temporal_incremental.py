@@ -224,3 +224,52 @@ def test_apply_component_delta_chain_of_merges(spark):
             for r in connected_components(
                 old_pairs.unionAll(new_pairs)).collect()}
     assert inc == full and set(inc.values()) == {10}
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_EDGE = st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+    lambda p: p[0] != p[1])
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(_EDGE, min_size=1, max_size=14),
+       st.lists(_EDGE, min_size=1, max_size=6))
+def test_component_delta_property(spark, old_edges, new_edges):
+    """Incremental components == full recompute for arbitrary splits."""
+    from palladian_spark.graph import (apply_component_delta,
+                                       connected_components)
+    old_p = spark.createDataFrame(list(set(old_edges)), ["a_id", "b_id"])
+    new_p = spark.createDataFrame(list(set(new_edges)), ["a_id", "b_id"])
+    inc = {r["node"]: r["component"]
+           for r in apply_component_delta(
+               connected_components(old_p), new_p).collect()}
+    full = {r["node"]: r["component"]
+            for r in connected_components(
+                old_p.unionAll(new_p)).collect()}
+    assert inc == full
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                min_size=1, max_size=12),
+       st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                min_size=1, max_size=12))
+def test_degree_delta_property(spark, old_t, new_t):
+    """Incremental degrees == full recompute for arbitrary snapshots."""
+    from palladian_spark.graph import (apply_degree_delta, kg_degrees,
+                                       kg_snapshot_diff)
+    old = spark.createDataFrame(
+        [(f"n{a}", "p", f"n{b}") for a, b in old_t],
+        ["subj", "pred", "obj"])
+    new = spark.createDataFrame(
+        [(f"n{a}", "p", f"n{b}") for a, b in new_t],
+        ["subj", "pred", "obj"])
+    inc = {r["node"]: (r["out_degree"], r["in_degree"])
+           for r in apply_degree_delta(
+               kg_degrees(old), kg_snapshot_diff(old, new)).collect()}
+    full = {r["node"]: (r["out_degree"], r["in_degree"])
+            for r in kg_degrees(new).collect()}
+    assert inc == full
