@@ -1062,10 +1062,18 @@ def ktruss(edges: DataFrame, k: int = 3, rounds: int = 2,
     node-level peeling.
 
     Fixed round count (SQL-replayable, like kcore); per round the edge
-    support is ONE wedge join — edge (u,v) matched against the symmetric
-    adjacency on both endpoints to count common neighbors — plus a
-    semi-join filter.  The surviving edge set only shrinks; each round
-    ends in a lazy lineage cut so rounds don't compose joins."""
+    support is computed by DEGREE-ORDERED triangle enumeration (the
+    kg_triangles orientation): every surviving edge is oriented from its
+    lower-(degree, id) endpoint, wedges self-join on the source with an
+    ordered pair guard, the closing edge is verified against the
+    canonical edge set, and each triangle found — exactly once — is
+    exploded to its three canonical edges for one count agg.  Oriented
+    out-degree is O(√m), so a celebrity hub cannot melt the wedge join
+    (the first version joined the RAW symmetric adjacency on both
+    endpoints; a 2%-mass hub at 16M edges put ~10^11 wedge rows through
+    one task and never finished — see BENCH.md).  The surviving edge set
+    only shrinks; each round ends in a lazy lineage cut so rounds don't
+    compose joins."""
     from pyspark.storagelevel import StorageLevel
     e = (edges
          .select(F.least(F.col(src_col), F.col(dst_col)).alias("u"),
@@ -1078,13 +1086,35 @@ def ktruss(edges: DataFrame, k: int = 3, rounds: int = 2,
     for _ in range(rounds):
         und = e.unionAll(e.select(F.col("v").alias("u"),
                                   F.col("u").alias("v")))
-        uw = und.select(F.col("u").alias("_a"), F.col("v").alias("_w1"))
-        vw = und.select(F.col("u").alias("_b"), F.col("v").alias("_w2"))
-        sup = (e
-               .join(uw, e.u == F.col("_a"))
-               .join(vw, (e.v == F.col("_b"))
-                     & (F.col("_w1") == F.col("_w2")))
-               .groupBy("u", "v")
+        deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        ed = (e.join(deg.select(F.col("u"), F.col("d").alias("du")), "u")
+              .join(deg.select(F.col("u").alias("v"),
+                               F.col("d").alias("dv")), "v"))
+        u_first = (F.struct(F.col("du"), F.col("u"))
+                   < F.struct(F.col("dv"), F.col("v")))
+        eo = ed.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"))
+        e1, e2 = eo.alias("e1"), eo.alias("e2")
+        wedges = (e1.join(e2, (F.col("e1.src") == F.col("e2.src"))
+                          & (F.struct(F.col("e1.ddeg"), F.col("e1.dst"))
+                             < F.struct(F.col("e2.ddeg"), F.col("e2.dst"))))
+                  .select(F.col("e1.src").alias("a"),
+                          F.col("e1.dst").alias("b"),
+                          F.col("e2.dst").alias("c")))
+        tri = wedges.join(
+            e.select(F.col("u").alias("_cu"), F.col("v").alias("_cv")),
+            (F.least(F.col("b"), F.col("c")) == F.col("_cu"))
+            & (F.greatest(F.col("b"), F.col("c")) == F.col("_cv"))) \
+            .select("a", "b", "c")
+        corners = (tri.select(F.least("a", "b").alias("u"),
+                              F.greatest("a", "b").alias("v"))
+                   .unionAll(tri.select(F.least("a", "c").alias("u"),
+                                        F.greatest("a", "c").alias("v")))
+                   .unionAll(tri.select(F.least("b", "c").alias("u"),
+                                        F.greatest("b", "c").alias("v"))))
+        sup = (corners.groupBy("u", "v")
                .agg(F.count(F.lit(1)).cast("long").alias("support")))
         kept = sup.where(F.col("support") >= need).select("u", "v")
         e = kept.localCheckpoint(eager=False)

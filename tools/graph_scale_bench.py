@@ -57,7 +57,7 @@ def main() -> None:
     from palladian_spark.session import get_spark
     from palladian_spark.graph import (connected_components_star, kcore,
                                        kg_degrees, kg_summary, kg_triangles,
-                                       label_propagation, pagerank,
+                                       ktruss, label_propagation, pagerank,
                                        random_walks)
     from palladian_spark.operators.kg_fusion import (mine_chain_rules,
                                                      relation_cardinality)
@@ -94,6 +94,7 @@ def main() -> None:
     timed("kcore_k3", lambda: kcore(edges, k=3, rounds=3))
     timed("triangles", lambda: kg_triangles(edges, src_col="src",
                                             dst_col="dst"))
+    timed("ktruss_k3", lambda: ktruss(edges, k=3, rounds=2))
     timed("random_walks_l3", lambda: random_walks(edges, walk_len=3,
                                                   id_strategy="hash"))
     timed("relation_cardinality", lambda: relation_cardinality(triples))
