@@ -1071,9 +1071,12 @@ def ktruss(edges: DataFrame, k: int = 3, rounds: int = 2,
     out-degree is O(√m), so a celebrity hub cannot melt the wedge join
     (the first version joined the RAW symmetric adjacency on both
     endpoints; a 2%-mass hub at 16M edges put ~10^11 wedge rows through
-    one task and never finished — see BENCH.md).  The surviving edge set
-    only shrinks; each round ends in a lazy lineage cut so rounds don't
-    compose joins."""
+    one task and never finished — see BENCH.md).  On small DENSE
+    hub-free graphs the orientation machinery costs a few× over the
+    naive join (sf0.01 contract graph: ~20 s → ~2 min) — the deliberate
+    price for an op that cannot melt at cluster scale.  The surviving
+    edge set only shrinks; each round ends in a lazy lineage cut so
+    rounds don't compose joins."""
     from pyspark.storagelevel import StorageLevel
     e = (edges
          .select(F.least(F.col(src_col), F.col(dst_col)).alias("u"),
