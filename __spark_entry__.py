@@ -1235,6 +1235,29 @@ def _q_kg_ego(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ego_subgraph(edges, seeds, k=2)
 
 
+def _q_kg_pagerank_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-started PageRank (graph.pagerank(init_ranks=...)): 2
+    refresh iterations from a degree-proportional start vector
+    (out_degree / |edges|, dangling nodes 1/N) — the incremental rank
+    refresh path, driver-checked; the oracle unrolls both iterations
+    from the same init."""
+    from pyspark.storagelevel import StorageLevel
+    from palladian_spark.graph import pagerank
+    t = _q_triples(spark, sf_dir)
+    e = (t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+         .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    n = nodes.count()
+    m = e.count()
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    init = (nodes.join(outd, nodes.node == outd.src, "left")
+            .select("node",
+                    F.coalesce(F.col("d").cast("double") / F.lit(float(m)),
+                               F.lit(1.0 / n)).alias("rank")))
+    return pagerank(e, n_iter=2, init_ranks=init).select("node", "rank")
+
+
 def _kg_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observation-level triples with timestamps: the pipeline's triples
     joined to the distinct (conv, turn, ts) turn timestamps (duplicate
@@ -1932,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_inference": _q_kg_type_inference,
         "kg_truth_decayed": _q_kg_truth_decayed,
         "kg_ego": _q_kg_ego,
+        "kg_pagerank_warm": _q_kg_pagerank_warm,
         "dedup_components_incremental": _q_dedup_components_incremental,
         "cooccurrence_pmi": _q_cooccurrence_pmi,
         "er_match_pairs": _q_er_match_pairs,
@@ -2567,6 +2591,30 @@ outd AS (SELECT src, CAST(count(*) AS DOUBLE) d FROM e GROUP BY 1),
 r0 AS (SELECT node, 1.0 / nn.c AS r FROM nodes CROSS JOIN nn),
 """ + its + """
 SELECT node, round(r, 6) AS rank FROM i3
+"""
+
+
+def _kg_pagerank_warm_oracle() -> str:
+    """Unrolled 2-iteration PageRank from the degree-proportional init
+    (out_degree / |edges|, dangling 1/N) — the warm-start refresh path;
+    same decimal-exact iteration machinery as _kg_pagerank_oracle."""
+    its = ",".join(
+        _PAGERANK_ITER.format(out=f"i{k}", prev=("r0" if k == 1
+                                                 else f"i{k - 1}"))
+        for k in (1, 2))
+    return _BASE_CTE + """
+, t AS (SELECT DISTINCT cust AS s, supp AS o FROM base
+        UNION SELECT DISTINCT supp, nat FROM base),
+e AS (SELECT s AS src, o AS dst FROM t),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) c FROM nodes),
+mm AS (SELECT CAST(count(*) AS DOUBLE) c FROM e),
+outd AS (SELECT src, CAST(count(*) AS DOUBLE) d FROM e GROUP BY 1),
+r0 AS (SELECT node, COALESCE(outd.d / mm.c, 1.0 / nn.c) AS r
+       FROM nodes CROSS JOIN nn CROSS JOIN mm
+       LEFT JOIN outd ON nodes.node = outd.src),
+""" + its + """
+SELECT node, round(r, 6) AS rank FROM i2
 """
 
 
@@ -3955,6 +4003,7 @@ SELECT COALESCE(o.node, i.node) AS node,
 FROM o FULL JOIN i ON o.node = i.node
 """,
         "kg_pagerank": _kg_pagerank_oracle(),
+        "kg_pagerank_warm": _kg_pagerank_warm_oracle(),
         "kg_ppr": _kg_ppr_oracle(),
         "kg_pagerank_weighted": _kg_pagerank_weighted_oracle(),
         "kg_link_prediction": _BASE_CTE + """
