@@ -141,6 +141,10 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
            .select("subj", "pred", "obj", "ts", "conv_id", "turn_idx")
            .distinct().cache())
     obs.count()
+    pr_edges = triples.select(F.col("subj").alias("src"),
+                              F.col("obj").alias("dst"))
+    warm_init = pagerank(pr_edges, n_iter=3, round_decimals=None).cache()
+    warm_init.count()
 
     for gname, gfn in [
         ("kg_degrees", lambda: kg_degrees(triples)),
@@ -156,6 +160,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         ("kg_pagerank", lambda: pagerank(
             triples.select(F.col("subj").alias("src"),
                            F.col("obj").alias("dst")), n_iter=3)),
+        # warm-start refresh: 2 iterations from a cached previous vector
+        # (built once below, outside the timed lambda) — the incremental
+        # snapshot-cadence cost, ≈ 2/3 of a cold 3-iteration run
+        ("kg_pagerank_warm_refresh", lambda: pagerank(
+            pr_edges, n_iter=2, init_ranks=warm_init)),
         ("kg_triangles", lambda: kg_triangles(_comention_edges())),
         ("kg_hits", lambda: hits(
             triples.select(F.col("subj").alias("src"),
@@ -189,6 +198,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         extra[f"graph_marginal_{gname}_sec"] = round(best, 3)
+    warm_init.unpersist()
     obs.unpersist()
     triples.unpersist()
 
