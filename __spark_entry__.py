@@ -1940,11 +1940,44 @@ def _q_word_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Never-driver-verified entries lead, in case the driver caps its
-        # per-round sweep: newest queries first, then the block that was
-        # absent from the round-3 sample (incl. the two ANN queries with
-        # full SQL-replay oracles since round 3 but no green driver row).
-        # round-4 fourth window (never driver-verified yet):
+        # --- ORDERING CONTRACT (round 5) ------------------------------
+        # The driver verifies only the FIRST 50 entries per round.
+        # Positions 1-28: the entries that have never had a driver-green
+        # row in rounds 1-4 (session-verified only) lead so the round-5
+        # window finally covers them — incl. triple_pr_gate (the
+        # north-rule P/R gate), ann_lsh_top1/ann_ivf_top1 (4 rounds
+        # unsampled) and quantize_embeddings (r3 red row, fixed in r4).
+        # New round-5 queries go AFTER these 28 (<=22 fit in the window).
+        "kg_summary": _q_kg_summary,
+        "fact_transitions": _q_fact_transitions,
+        "entity_timeline": _q_entity_timeline,
+        "schema_induction": _q_schema_induction,
+        "export_ntriples": _q_export_ntriples,
+        "canonicalize_surfaces": _q_canonicalize_surfaces,
+        "asof_join_state": _q_asof_join_state,
+        "interval_join_incidents": _q_interval_join_incidents,
+        "hypertable_rollup": _q_hypertable_rollup,
+        "ann_lsh_top1": _q_ann_lsh_top1,
+        "ann_ivf_top1": _q_ann_ivf_top1,
+        "repetition_scores": _q_repetition_scores,
+        "scrub_pii": _q_scrub_pii,
+        "kg_triangles": _q_kg_triangles,
+        "dedup_incremental": _q_dedup_incremental,
+        "curate_corpus_full": _q_curate_corpus_full,
+        "simhash_neardup": _q_simhash_neardup,
+        "curation_report": _q_curation_report,
+        "kg_edge_provenance": _q_kg_edge_provenance,
+        "kg_pagerank_weighted": _q_kg_pagerank_weighted,
+        "corpus_stats": _q_corpus_stats,
+        "quality_outliers": _q_quality_outliers,
+        "kg_link_prediction": _q_kg_link_prediction,
+        "quantize_embeddings": _q_quantize_embeddings,
+        "conversation_stats": _q_conversation_stats,
+        "dedup_components_star": _q_dedup_components_star,
+        "triple_pr_gate": _q_triple_pr_gate,
+        "decontamination_spans": _q_decontamination_spans,
+        # --- new round-5 queries (window positions 29-50) -------------
+        # --- previously driver-green (rounds 1-4) ---------------------
         "kg_as_of": _q_kg_as_of,
         "kg_edges_decayed": _q_kg_edges_decayed,
         "kg_top_facts": _q_kg_top_facts,
@@ -1995,31 +2028,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_topic_shifts": _q_turn_topic_shifts,
         "entity_salience": _q_entity_salience,
         "kg_snapshot_diff": _q_kg_snapshot_diff,
-        "kg_summary": _q_kg_summary,
-        "fact_transitions": _q_fact_transitions,
-        "entity_timeline": _q_entity_timeline,
-        "schema_induction": _q_schema_induction,
-        "export_ntriples": _q_export_ntriples,
-        "canonicalize_surfaces": _q_canonicalize_surfaces,
-        "asof_join_state": _q_asof_join_state,
-        "interval_join_incidents": _q_interval_join_incidents,
-        "hypertable_rollup": _q_hypertable_rollup,
-        "ann_lsh_top1": _q_ann_lsh_top1,
-        "ann_ivf_top1": _q_ann_ivf_top1,
-        "repetition_scores": _q_repetition_scores,
-        "scrub_pii": _q_scrub_pii,
-        "kg_triangles": _q_kg_triangles,
-        "dedup_incremental": _q_dedup_incremental,
-        "curate_corpus_full": _q_curate_corpus_full,
-        "simhash_neardup": _q_simhash_neardup,
-        "curation_report": _q_curation_report,
-        "kg_edge_provenance": _q_kg_edge_provenance,
-        "kg_pagerank_weighted": _q_kg_pagerank_weighted,
-        "corpus_stats": _q_corpus_stats,
-        "quality_outliers": _q_quality_outliers,
-        "kg_link_prediction": _q_kg_link_prediction,
-        "quantize_embeddings": _q_quantize_embeddings,
-        "conversation_stats": _q_conversation_stats,
         "cooccurrence_document": _q_cooccurrence_document,
         "evaluation_counts": _q_evaluation_counts,
         "event_windows": _q_event_windows,
@@ -2028,10 +2036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "real_sentences": _q_real_sentences,
         "sessionize_events": _q_sessionize,
         "user_activity": _q_user_activity,
-        "dedup_components_star": _q_dedup_components_star,
         "candidates_stringtagger": _q_candidates,
         "kg_triples": _q_triples,
-        "triple_pr_gate": _q_triple_pr_gate,
         "kg_degrees": _q_kg_degrees,
         "kg_pagerank": _q_kg_pagerank,
         "dedup_components": _q_dedup_components,
@@ -2042,7 +2048,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "lm_perplexity": _q_lm_perplexity,
         "decontamination": _q_decontamination,
-        "decontamination_spans": _q_decontamination_spans,
         "link_entities": _q_link_entities,
         "remove_nested": _q_remove_nested,
         "combine_adjacent": _q_combine_adjacent,
