@@ -15,9 +15,10 @@ array, lengths) are materialized ONCE before the self-join so Catalyst
 cannot recompute them per pair; grams are xxhash64-hashed so the per-pair
 intersection compares int64s, not strings; the band prune is computed
 from lengths alone, so pruned pairs never materialize an intersection.
-Skewed blocks (a hot first token) are the LSH hot-bucket problem — cap
-or salt via the same pattern as similarity_search._emit_salted if a
-corpus needs it.
+Skewed blocks (a hot first token — "the …", "new …") are salted: a
+block over ``max_block_names`` distinct names splits into hash
+sub-buckets and the self-join runs per (block, gp, gq) sub-group, so no
+single task ever holds more than ~2·cap names (see _name_match_pairs).
 """
 
 from __future__ import annotations
@@ -55,11 +56,25 @@ def _profiles(records: DataFrame, id_col: str, name_col: str,
 
 def _name_match_pairs(names: DataFrame, threshold: float,
                       w_lev: float = 0.5,
-                      w_dice: float = 0.5) -> DataFrame:
+                      w_dice: float = 0.5,
+                      max_block_names: int = 4096) -> DataFrame:
     """≥-threshold pairs over the DISTINCT (block, name) inventory:
     (block, a_lname, b_lname, lev_sim, dice_sim, score) with
     a_lname < b_lname.  ``names`` must carry (block, lname, nlen,
     grams, n_grams) — the _profiles columns minus rec_id.
+
+    Hot blocks are salted: a block holding n > ``max_block_names``
+    distinct names splits into s = ceil(n/cap) hash sub-buckets, the
+    left side replicates each name into join groups (salt, j≥salt) and
+    the right side into (i≤salt, salt), so every unordered name pair
+    meets in EXACTLY one (block, gp, gq) group and no join task ever
+    holds more than ~2·cap names — a hot first token ("the …", "new …")
+    spreads over s·(s+1)/2 tasks instead of melting one.  Same-group
+    duplicates (gp == gq, where both orientations meet) are dropped by
+    the lexical guard; cross-group pairs meet once in arbitrary
+    orientation, so the output normalizes to a_lname < b_lname with
+    least/greatest (all similarity terms are symmetric).  Blocks under
+    the cap get s = 1 → the identical single-group join as before.
 
     Two sound prunes: the join-side length band (lev_sim ≤ min/max
     length, dice ≤ 2·min/(na+nb) gram counts), and a CASE guard that
@@ -67,15 +82,35 @@ def _name_match_pairs(names: DataFrame, threshold: float,
     w_lev·(minlen/maxlen) + w_dice·dice(exact) clears the threshold —
     the guard lives in the expression, so no optimizer predicate
     reordering can hoist the expensive branch."""
+    sizes = names.groupBy("block").agg(F.count("*").alias("_bn"))
+    salted = (names.join(sizes, "block")
+              .withColumn("_s", F.ceil(F.col("_bn")
+                                       / F.lit(max_block_names))
+                          .cast("int"))
+              .withColumn("_salt", F.pmod(F.xxhash64("lname"),
+                                          F.col("_s")).cast("int"))
+              .drop("_bn"))
     cols = ["block", "lname", "nlen", "grams", "n_grams"]
-    a = names.select(*(F.col(c).alias(f"a_{c}") for c in cols))
-    b = names.select(*(F.col(c).alias(f"b_{c}") for c in cols))
+    a = (salted
+         .withColumn("_gq", F.explode(F.sequence(F.col("_salt"),
+                                                 F.col("_s") - 1)))
+         .select(*(F.col(c).alias(f"a_{c}") for c in cols),
+                 F.col("_salt").alias("a_gp"), F.col("_gq").alias("a_gq")))
+    b = (salted
+         .withColumn("_gp", F.explode(F.sequence(F.lit(0),
+                                                 F.col("_salt"))))
+         .select(*(F.col(c).alias(f"b_{c}") for c in cols),
+                 F.col("_gp").alias("b_gp"), F.col("_salt").alias("b_gq")))
     lev_ub = F.least("a_nlen", "b_nlen") / F.greatest("a_nlen", "b_nlen")
     dice_ub = (2.0 * F.least("a_n_grams", "b_n_grams")
                / (F.col("a_n_grams") + F.col("b_n_grams")))
     band = (F.lit(w_lev) * lev_ub + F.lit(w_dice) * dice_ub) >= threshold
+    once = ((F.col("a_gp") != F.col("a_gq"))
+            | (F.col("a_lname") < F.col("b_lname")))
     npairs = a.join(b, (F.col("a_block") == F.col("b_block"))
-                    & (F.col("a_lname") < F.col("b_lname")) & band)
+                    & (F.col("a_gp") == F.col("b_gp"))
+                    & (F.col("a_gq") == F.col("b_gq"))
+                    & once & band)
 
     lev = (F.lit(1.0) - F.levenshtein("a_lname", "b_lname")
            / F.greatest("a_nlen", "b_nlen"))
@@ -85,7 +120,8 @@ def _name_match_pairs(names: DataFrame, threshold: float,
     score = F.when(gate, F.round(F.lit(w_lev) * lev
                                  + F.lit(w_dice) * dice, 6))
     return (npairs.select(F.col("a_block").alias("block"),
-                          "a_lname", "b_lname",
+                          F.least("a_lname", "b_lname").alias("a_lname"),
+                          F.greatest("a_lname", "b_lname").alias("b_lname"),
                           F.round(lev, 6).alias("lev_sim"),
                           F.round(dice, 6).alias("dice_sim"),
                           score.alias("score"))
@@ -97,7 +133,8 @@ def blocked_match_pairs(records: DataFrame, id_col: str = "rec_id",
                         block_col: Optional[str] = None,
                         threshold: float = 0.7,
                         w_lev: float = 0.5,
-                        w_dice: float = 0.5) -> DataFrame:
+                        w_dice: float = 0.5,
+                        max_block_names: int = 4096) -> DataFrame:
     """Match pairs (a_id, b_id, lev_sim, dice_sim, score) with
     score = w_lev·levenshtein_sim + w_dice·dice_sim ≥ ``threshold``,
     candidates restricted to records sharing a block key.
@@ -135,7 +172,8 @@ def blocked_match_pairs(records: DataFrame, id_col: str = "rec_id",
 
     # fuzzy tier: DISTINCT name pairs within a block
     matched = _name_match_pairs(names, threshold=threshold,
-                                w_lev=w_lev, w_dice=w_dice)
+                                w_lev=w_lev, w_dice=w_dice,
+                                max_block_names=max_block_names)
     fa = ids.select("block", F.col("lname").alias("a_lname"),
                     F.col("rec_id").alias("_ida"))
     fb = ids.select("block", F.col("lname").alias("b_lname"),
@@ -153,7 +191,8 @@ def resolve_entities(records: DataFrame, id_col: str = "rec_id",
                      pairs: Optional[DataFrame] = None,
                      block_col: Optional[str] = None,
                      threshold: float = 0.7,
-                     checkpoint_dir: Optional[str] = None) -> DataFrame:
+                     checkpoint_dir: Optional[str] = None,
+                     max_block_names: int = 4096) -> DataFrame:
     """Full ER: every record labeled with its canonical id (the minimum
     rec_id reachable through the ≥-threshold match graph; unmatched
     records canonicalize to themselves) plus the cluster size.
@@ -190,7 +229,8 @@ def resolve_entities(records: DataFrame, id_col: str = "rec_id",
                         "block", "lname", "nlen", "grams", "n_grams")
     names = keyed.select("nkey", "block", "lname", "nlen", "grams",
                          "n_grams").distinct()
-    npairs = _name_match_pairs(names, threshold=threshold)
+    npairs = _name_match_pairs(names, threshold=threshold,
+                               max_block_names=max_block_names)
     comp = connected_components(
         npairs.select(F.concat_ws("\x01", "block", "a_lname").alias("a_id"),
                       F.concat_ws("\x01", "block", "b_lname").alias("b_id")),

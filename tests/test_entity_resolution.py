@@ -176,3 +176,65 @@ def test_stable_canonical_ids_tiebreaks(spark):
         [("r1", "n1"), ("r2", "n1")], ["rec_id", "canonical_id"])
     [row] = stable_canonical_ids(old, new).collect()
     assert row["stable_id"] == "oA" and row["n_inherited"] == 1
+
+
+# --- hot-block salting ------------------------------------------------
+
+def _hot_block_records():
+    """One pathologically hot first-token block ('hot ...' × 120 distinct
+    names, many near-dup neighbours) plus exact-dup records and two cold
+    blocks — the 'The …'/'New …' surface-inventory shape at web scale."""
+    rows = []
+    rid = 0
+    for i in range(120):
+        rid += 1
+        rows.append((rid, f"hot widget {i:03d}"))
+    # exact duplicates (whitespace/case variants) inside the hot block
+    rows += [(901, "Hot  Widget 000"), (902, "HOT WIDGET 001")]
+    rows += [(950, "Globex Inc"), (951, "Globex Incorporated"),
+             (960, "Zeta Systems")]
+    return rows
+
+
+def test_hot_block_salting_matches_unsalted(spark):
+    df = spark.createDataFrame(_hot_block_records(),
+                               "rec_id int, name string")
+    plain = blocked_match_pairs(df, threshold=0.6,
+                                max_block_names=10**9).collect()
+    salted = blocked_match_pairs(df, threshold=0.6,
+                                 max_block_names=16).collect()
+    key = lambda r: (r["a_id"], r["b_id"])
+    # exactly-once pair emission (no dupes from sub-group overlap) ...
+    assert len(salted) == len({key(r) for r in salted})
+    assert len(plain) == len({key(r) for r in plain})
+    # ... and identical pair/score sets vs the single-group join
+    as_set = lambda rows: {(r["a_id"], r["b_id"], r["lev_sim"],
+                            r["dice_sim"], r["score"]) for r in rows}
+    assert as_set(salted) == as_set(plain)
+    # the hot block really engaged salting: 122 distinct names / cap 16
+    # → 8 sub-buckets → pairs must exist across sub-bucket boundaries
+    assert len(salted) > 100
+
+
+def test_hot_block_salting_cap_one_extreme(spark):
+    df = spark.createDataFrame(_hot_block_records()[:40],
+                               "rec_id int, name string")
+    plain = blocked_match_pairs(df, threshold=0.6,
+                                max_block_names=10**9).collect()
+    salted = blocked_match_pairs(df, threshold=0.6,
+                                 max_block_names=1).collect()
+    as_set = lambda rows: {(r["a_id"], r["b_id"], r["score"])
+                           for r in rows}
+    assert as_set(salted) == as_set(plain)
+
+
+def test_resolve_entities_salted_equals_unsalted(spark):
+    df = spark.createDataFrame(_hot_block_records(),
+                               "rec_id int, name string")
+    plain = {(r["rec_id"], r["canonical_id"], r["cluster_size"])
+             for r in resolve_entities(df, threshold=0.7,
+                                       max_block_names=10**9).collect()}
+    salted = {(r["rec_id"], r["canonical_id"], r["cluster_size"])
+              for r in resolve_entities(df, threshold=0.7,
+                                        max_block_names=8).collect()}
+    assert salted == plain
