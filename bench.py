@@ -237,6 +237,19 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     result = run_bench(sf_dir, cpus)
+    # The driver keeps only the last 2000 bytes of stdout, which truncates
+    # the per-query dict — persist the full artifact next to the repo so
+    # round-over-round comparisons survive (BENCH_r04 lost its front).
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_local.json"))
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(result, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
     print(json.dumps(result))
 
 

@@ -28,6 +28,18 @@ and every base read filters ``batch < N``, so a replayed batch id (crash
 before the checkpoint commit) replaces its half-written output and never
 sees it as history — exactly-once without a transactional format.
 
+Late data: with ``lateness_horizon_sec`` set, each batch is split against
+the running watermark (max event ``ts`` over all EARLIER batches, minus
+the horizon — the Structured-Streaming watermark rule, tracked in the
+lineage store because foreachBatch sinks manage their own state).  Rows
+at or above the watermark fold into the main stores; older rows are
+ROUTED to an append-only ``late_turns/batch=N`` correction store instead
+of silently polluting artifacts a consumer may already have snapshotted.
+``reconciled_artifacts`` folds the correction store back in at read time
+(O(|late|) incremental work, not a graph recompute), so
+main-stores ⊎ corrections == the batch recompute over everything —
+pinned by the shuffled-timestamp stream==batch test.
+
 Scale notes: at a real deployment the degree profile (node-sized, orders
 smaller than the edge set) would be MERGEd into a keyed Iceberg table
 rather than rewritten per batch, and the known-edge anti-join would be a
@@ -62,9 +74,14 @@ def _read_partitioned(spark: SparkSession, base_dir: str,
 
 
 def _maintain_batch(spark: SparkSession, triples: DataFrame, batch_id: int,
-                    output_dir: str) -> dict:
+                    output_dir: str,
+                    max_event_ts: Optional[float] = None,
+                    n_late: int = 0) -> dict:
     """Pure-batch kernel (unit-testable without a stream): fold one
     batch's triples into the edge / evidence-delta / degree stores.
+    ``max_event_ts`` (epoch seconds; the batch's max ``ts`` BEFORE late
+    splitting) advances the lineage-tracked watermark; ``n_late`` audits
+    how many rows were routed to the correction store.
     Returns the lineage row as a dict."""
     from palladian_spark.graph import apply_degree_delta
 
@@ -111,16 +128,34 @@ def _maintain_batch(spark: SparkSession, triples: DataFrame, batch_id: int,
     degrees.write.mode("overwrite").parquet(f"{degrees_dir}/batch={bid}")
 
     row = {"batch_id": bid, "n_triples": t.count(), "n_new_edges": n_new,
-           "n_nodes": n_nodes, "finished_at": time.time()}
+           "n_nodes": n_nodes, "n_late": int(n_late),
+           "max_event_ts": (None if max_event_ts is None
+                            else float(max_event_ts)),
+           "finished_at": time.time()}
     spark.createDataFrame(
         [(row["batch_id"], row["n_triples"], row["n_new_edges"],
-          row["n_nodes"], row["finished_at"])],
+          row["n_nodes"], row["n_late"], row["max_event_ts"],
+          row["finished_at"])],
         "batch_id long, n_triples long, n_new_edges long, n_nodes long, "
-        "finished_at double").write.mode("overwrite").parquet(
-        f"{lineage_dir}/batch={bid}")
+        "n_late long, max_event_ts double, finished_at double") \
+        .write.mode("overwrite").parquet(f"{lineage_dir}/batch={bid}")
     for df in (degrees, new_edges, t):
         df.unpersist()
     return row
+
+
+def _current_watermark(spark: SparkSession, output_dir: str,
+                       before_batch: int,
+                       horizon_sec: float) -> Optional[float]:
+    """Watermark (epoch seconds) in force for ``before_batch``: max event
+    ts recorded by EARLIER batches minus the horizon; None while no
+    earlier batch has recorded an event time."""
+    lineage = _read_partitioned(spark, f"{output_dir}/lineage",
+                                before_batch)
+    if lineage is None or "max_event_ts" not in lineage.columns:
+        return None
+    top = lineage.agg(F.max("max_event_ts")).first()[0]
+    return None if top is None else float(top) - float(horizon_sec)
 
 
 def run_streaming_kg_maintenance(spark: SparkSession, input_dir: str,
@@ -128,11 +163,19 @@ def run_streaming_kg_maintenance(spark: SparkSession, input_dir: str,
                                  entity_dict: DataFrame,
                                  patterns: Optional[Sequence] = None,
                                  max_files_per_trigger: Optional[int] = None,
-                                 available_now: bool = True):
+                                 available_now: bool = True,
+                                 lateness_horizon_sec: Optional[float] = None):
     """readStream(transcripts) → foreachBatch(extract + incremental KG
     artifact maintenance).  With ``available_now`` the query drains the
     current input and stops; rerunning processes ONLY new files
-    (checkpointed ingestion) and folds them into the same stores."""
+    (checkpointed ingestion) and folds them into the same stores.
+
+    ``lateness_horizon_sec`` declares the lateness policy: turns whose
+    ``ts`` is older than (max event ts of earlier batches − horizon) are
+    written to ``late_turns/batch=N`` (idempotent overwrite, same replay
+    contract as every other store) instead of the main artifacts; fold
+    them back with ``reconciled_artifacts``.  None (default) disables the
+    split — every row is on time, the pre-round-5 behavior."""
     from palladian_spark.relations import (
         DEFAULT_PATTERNS, extract_canonical_triples)
     patterns = (tuple(patterns) if patterns is not None
@@ -141,9 +184,31 @@ def run_streaming_kg_maintenance(spark: SparkSession, input_dir: str,
     checkpoint_dir = f"{output_dir}/_checkpoint"
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        triples = extract_canonical_triples(batch_df, model, entity_dict,
+        bid = int(batch_id)
+        on_time, max_ts, n_late = batch_df, None, 0
+        if lateness_horizon_sec is not None:
+            batch_df = batch_df.persist()
+            max_ts_row = batch_df.agg(
+                F.max(F.col("ts").cast("double"))).first()
+            max_ts = max_ts_row[0] if max_ts_row else None
+            wm = _current_watermark(spark, output_dir, bid,
+                                    lateness_horizon_sec)
+            if wm is not None:
+                is_late = F.col("ts").cast("double") < F.lit(wm)
+                late = batch_df.where(is_late).persist()
+                n_late = late.count()
+                late.write.mode("overwrite").parquet(
+                    f"{output_dir}/late_turns/batch={bid}")
+                on_time = batch_df.where(~is_late | F.col("ts").isNull())
+                late.unpersist()
+            else:
+                on_time = batch_df
+        triples = extract_canonical_triples(on_time, model, entity_dict,
                                             patterns=patterns)
-        _maintain_batch(spark, triples, int(batch_id), output_dir)
+        _maintain_batch(spark, triples, bid, output_dir,
+                        max_event_ts=max_ts, n_late=n_late)
+        if lateness_horizon_sec is not None:
+            batch_df.unpersist()
 
     stream = stream_transcripts(spark, input_dir, max_files_per_trigger)
     writer = (stream.writeStream
@@ -174,6 +239,74 @@ def current_degrees(spark: SparkSession, output_dir: str) -> DataFrame:
             .parquet(f"{output_dir}/degrees/batch=*")
             .where(F.col("batch") == int(last))
             .select("node", "out_degree", "in_degree"))
+
+
+def read_late_turns(spark: SparkSession, output_dir: str) -> Optional[DataFrame]:
+    """All turns routed to the late-data correction store (None when the
+    store doesn't exist or is empty)."""
+    base = f"{output_dir}/late_turns"
+    try:
+        df = (spark.read.option("basePath", base)
+              .parquet(f"{base}/batch=*"))
+        if not df.take(1):
+            return None
+        return df
+    except AnalysisException:
+        return None
+
+
+def reconciled_artifacts(spark: SparkSession, output_dir: str, model,
+                         entity_dict: DataFrame,
+                         patterns: Optional[Sequence] = None) -> dict:
+    """Read-time reconciliation of the late-data correction store:
+    {edges, evidence, degrees} DataFrames equal to what the main stores
+    WOULD hold had every late turn arrived on time (the stream==batch
+    equivalence under any timestamp shuffle — pinned in tests).
+
+    The fold is O(|late|): late turns are extracted once, their novel
+    edges anti-joined against the edge store, and the degree profile is
+    advanced with ``apply_degree_delta`` — never a full-graph recompute.
+    Folding at read time (instead of mutating the stores) keeps every
+    ``batch=N`` directory immutable, so the replay-idempotency contract
+    and any consumer snapshots stay valid; a deployment would run this
+    as a periodic reconciliation job that MERGEs into the Iceberg tables
+    and truncates the correction store."""
+    from palladian_spark.graph import apply_degree_delta
+    from palladian_spark.relations import (
+        DEFAULT_PATTERNS, extract_canonical_triples)
+
+    edges = (spark.read.option("basePath", f"{output_dir}/edges")
+             .parquet(f"{output_dir}/edges/batch=*")
+             .select("subj", "pred", "obj"))
+    evidence = fold_evidence(spark, output_dir)
+    degrees = current_degrees(spark, output_dir)
+
+    late = read_late_turns(spark, output_dir)
+    if late is None:
+        return {"edges": edges, "evidence": evidence, "degrees": degrees}
+
+    patterns = (tuple(patterns) if patterns is not None
+                else tuple(DEFAULT_PATTERNS))
+    late_triples = extract_canonical_triples(
+        late, model, entity_dict, patterns=patterns) \
+        .select("subj", "pred", "obj")
+    late_evidence = (late_triples.groupBy("subj", "pred", "obj")
+                     .agg(F.count(F.lit(1)).cast("long").alias("n_obs")))
+    novel = (late_triples.distinct()
+             .join(edges, ["subj", "pred", "obj"], "left_anti")
+             .persist())
+    out = {
+        "edges": edges.unionByName(novel),
+        "evidence": (evidence.unionByName(late_evidence)
+                     .groupBy("subj", "pred", "obj")
+                     .agg(F.sum("n_obs").cast("long").alias("n_obs"))),
+        "degrees": apply_degree_delta(
+            degrees, novel.select("subj", "obj",
+                                  F.lit("added").alias("status")))
+        .select("node", F.col("out_degree").cast("long").alias("out_degree"),
+                F.col("in_degree").cast("long").alias("in_degree")),
+    }
+    return out
 
 
 def compact_stores(spark: SparkSession, output_dir: str,

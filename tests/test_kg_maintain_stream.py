@@ -147,3 +147,89 @@ def test_run_kg_maintain_job(spark, workdir, capsys):
                 stop=False) == 0
     stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["nodes"] > 0
+
+
+# --- late-data policy ---------------------------------------------------
+
+def _write_batch_at(spark, in_dir, conv_prefix, n, ts):
+    """Like _write_batch but with every turn pinned to one event time."""
+    import pandas as pd
+    from palladian_spark.data.transcripts import synthetic_transcripts_pdf
+    tp, _ = synthetic_transcripts_pdf(n_convs=n, turns_per_conv=4)
+    tp["conv_id"] = conv_prefix + "-" + tp["conv_id"]
+    tp["ts"] = pd.Timestamp(ts)
+    spark.createDataFrame(tp).coalesce(1).write.mode("append") \
+        .parquet(str(in_dir))
+    return tp
+
+
+def test_late_turns_routed_and_reconciled(spark, workdir):
+    """Shuffled-timestamp replay: turns older than the watermark are
+    routed to the correction store (never into the main artifacts), and
+    reconciled_artifacts == the batch recompute over EVERYTHING."""
+    from palladian_spark.graph import kg_degrees
+    from palladian_spark.relations import extract_canonical_triples
+    from palladian_spark.streaming.kg_maintain import (
+        read_late_turns, reconciled_artifacts)
+
+    in_dir, out_dir = str(workdir / "in"), str(workdir / "out")
+    model, entity_dict = _setup(spark)
+    horizon = 3600.0
+
+    # wave 1: everything at T0 → establishes watermark T0 - 1h
+    _write_batch_at(spark, in_dir, "w1", 4, "2026-01-02 12:00:00")
+    run_streaming_kg_maintenance(spark, in_dir, out_dir, model,
+                                 entity_dict,
+                                 lateness_horizon_sec=horizon)
+
+    # wave 2: on-time rows at T0+10min, late rows 2 days earlier
+    _write_batch_at(spark, in_dir, "w2on", 3, "2026-01-02 12:10:00")
+    _write_batch_at(spark, in_dir, "w2late", 3, "2025-12-31 12:00:00")
+    run_streaming_kg_maintenance(spark, in_dir, out_dir, model,
+                                 entity_dict,
+                                 lateness_horizon_sec=horizon)
+
+    # the correction store holds exactly the late wave, text-identical
+    # per (conv_id, turn_idx) — the north-rule per-turn invariant
+    late = read_late_turns(spark, out_dir)
+    got_late = {(r["conv_id"], r["turn_idx"]): r["text"]
+                for r in late.collect()}
+    assert set(k[0].split("-", 1)[0] for k in got_late) == {"w2late"}
+    all_rows = spark.read.parquet(in_dir)
+    want_late = {(r["conv_id"], r["turn_idx"]): r["text"]
+                 for r in all_rows
+                 .where(F.col("conv_id").startswith("w2late")).collect()}
+    assert got_late == want_late
+
+    # main stores == batch recompute over the ON-TIME subset only
+    on_time = all_rows.where(~F.col("conv_id").startswith("w2late"))
+    on_triples = extract_canonical_triples(on_time, model, entity_dict)
+    assert _degree_map(current_degrees(spark, out_dir)) == \
+        _degree_map(kg_degrees(on_triples))
+
+    # reconciled artifacts == batch recompute over EVERYTHING
+    rec = reconciled_artifacts(spark, out_dir, model, entity_dict)
+    full = extract_canonical_triples(all_rows, model, entity_dict)
+    assert _degree_map(rec["degrees"]) == _degree_map(kg_degrees(full))
+    expect_ev = {(r["subj"], r["pred"], r["obj"]): r["n"]
+                 for r in full.groupBy("subj", "pred", "obj")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()}
+    got_ev = {(r["subj"], r["pred"], r["obj"]): r["n_obs"]
+              for r in rec["evidence"].collect()}
+    assert got_ev == expect_ev
+    assert rec["edges"].count() == \
+        full.select("subj", "pred", "obj").distinct().count()
+
+
+def test_reconciled_artifacts_no_late_store(spark, workdir):
+    """Without late rows the reconciled view is just the main stores."""
+    from palladian_spark.streaming.kg_maintain import reconciled_artifacts
+    in_dir, out_dir = str(workdir / "in"), str(workdir / "out")
+    model, entity_dict = _setup(spark)
+    _write_batch_at(spark, in_dir, "w1", 3, "2026-01-02 12:00:00")
+    run_streaming_kg_maintenance(spark, in_dir, out_dir, model,
+                                 entity_dict,
+                                 lateness_horizon_sec=3600.0)
+    rec = reconciled_artifacts(spark, out_dir, model, entity_dict)
+    assert _degree_map(rec["degrees"]) == \
+        _degree_map(current_degrees(spark, out_dir))
