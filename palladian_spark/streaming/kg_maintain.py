@@ -21,7 +21,18 @@ this module maintains what a KG consumer actually reads — per batch:
                     ``added``-only diff — O(|new edges|) work per batch,
                     never a full-graph recompute (equality with the
                     recompute is pinned by graph tests and the
-                    kg_degrees_incremental contract oracle).
+                    kg_degrees_incremental contract oracle);
+  5. components   — ``graph.apply_component_delta`` folds the batch's
+                    novel edges into the previous batch's (node,
+                    component) labeling; the min-label fixpoint runs on
+                    the label-level quotient of the TOUCHED components
+                    only, so the per-batch cost is O(|new edges| +
+                    touched components), not O(graph).  Stores that
+                    predate this twin bootstrap once from the novel-edge
+                    store (which holds every distinct edge by
+                    construction).  Equality with
+                    ``connected_components`` over everything ingested is
+                    pinned across drains, replays, and late data.
 
 Idempotency: every output is OVERWRITE of its own ``batch=N`` directory
 and every base read filters ``batch < N``, so a replayed batch id (crash
@@ -73,21 +84,40 @@ def _read_partitioned(spark: SparkSession, base_dir: str,
         return None
 
 
+def _store_at(spark: SparkSession, base_dir: str,
+              batch: int) -> Optional[DataFrame]:
+    """One store's ``batch=<batch>`` partition, or None if the store (or
+    that partition) does not exist — the upgrade path for stores written
+    before a new per-batch artifact was added."""
+    try:
+        df = (spark.read.option("basePath", base_dir)
+              .parquet(f"{base_dir}/batch=*")
+              .where(F.col("batch") == int(batch)))
+        if not df.take(1):
+            return None
+        return df
+    except AnalysisException:
+        return None
+
+
 def _maintain_batch(spark: SparkSession, triples: DataFrame, batch_id: int,
                     output_dir: str,
                     max_event_ts: Optional[float] = None,
                     n_late: int = 0) -> dict:
     """Pure-batch kernel (unit-testable without a stream): fold one
-    batch's triples into the edge / evidence-delta / degree stores.
-    ``max_event_ts`` (epoch seconds; the batch's max ``ts`` BEFORE late
-    splitting) advances the lineage-tracked watermark; ``n_late`` audits
-    how many rows were routed to the correction store.
+    batch's triples into the edge / evidence-delta / degree / component
+    stores.  ``max_event_ts`` (epoch seconds; the batch's max ``ts``
+    BEFORE late splitting) advances the lineage-tracked watermark;
+    ``n_late`` audits how many rows were routed to the correction store.
     Returns the lineage row as a dict."""
-    from palladian_spark.graph import apply_degree_delta
+    from palladian_spark.graph import (apply_component_delta,
+                                       apply_degree_delta,
+                                       connected_components)
 
     edges_dir = f"{output_dir}/edges"
     evidence_dir = f"{output_dir}/evidence_delta"
     degrees_dir = f"{output_dir}/degrees"
+    components_dir = f"{output_dir}/components"
     lineage_dir = f"{output_dir}/lineage"
     bid = int(batch_id)
 
@@ -109,6 +139,7 @@ def _maintain_batch(spark: SparkSession, triples: DataFrame, batch_id: int,
     n_new = new_edges.count()
     new_edges.write.mode("overwrite").parquet(f"{edges_dir}/batch={bid}")
 
+    empty_labels = spark.createDataFrame([], "node string, component string")
     prev_lineage = _read_partitioned(spark, lineage_dir, bid)
     if prev_lineage is not None:
         prev_bid = prev_lineage.agg(F.max("batch")).first()[0]
@@ -116,9 +147,21 @@ def _maintain_batch(spark: SparkSession, triples: DataFrame, batch_id: int,
                         .parquet(f"{degrees_dir}/batch=*")
                         .where(F.col("batch") == int(prev_bid))
                         .select("node", "out_degree", "in_degree"))
+        prev_comp = _store_at(spark, components_dir, prev_bid)
+        if prev_comp is not None:
+            prev_comp = prev_comp.select("node", "component")
+        elif known is not None:
+            # store predates the component twin: bootstrap ONCE from the
+            # novel-edge store, which holds every distinct edge ever seen
+            prev_comp = connected_components(
+                known.select(F.col("subj").alias("a_id"),
+                             F.col("obj").alias("b_id")))
+        else:
+            prev_comp = empty_labels
     else:
         prev_degrees = spark.createDataFrame(
             [], "node string, out_degree long, in_degree long")
+        prev_comp = empty_labels
     diff = new_edges.select("subj", "obj", F.lit("added").alias("status"))
     degrees = (apply_degree_delta(prev_degrees, diff)
                .select("node", F.col("out_degree").cast("long").alias("out_degree"),
@@ -126,6 +169,12 @@ def _maintain_batch(spark: SparkSession, triples: DataFrame, batch_id: int,
     degrees = degrees.persist()
     n_nodes = degrees.count()
     degrees.write.mode("overwrite").parquet(f"{degrees_dir}/batch={bid}")
+
+    components = apply_component_delta(
+        prev_comp, new_edges.select(F.col("subj").alias("a_id"),
+                                    F.col("obj").alias("b_id")))
+    components.write.mode("overwrite") \
+        .parquet(f"{components_dir}/batch={bid}")
 
     row = {"batch_id": bid, "n_triples": t.count(), "n_new_edges": n_new,
            "n_nodes": n_nodes, "n_late": int(n_late),
@@ -241,6 +290,26 @@ def current_degrees(spark: SparkSession, output_dir: str) -> DataFrame:
             .select("node", "out_degree", "in_degree"))
 
 
+def current_components(spark: SparkSession, output_dir: str) -> DataFrame:
+    """The latest maintained (node, component) labeling.  Stores written
+    before the component twin existed have no ``components/batch=N``
+    partition for the latest batch; those bootstrap from the novel-edge
+    store (every distinct edge, by construction) — the same upgrade path
+    ``_maintain_batch`` takes, so the next drain persists it."""
+    from palladian_spark.graph import connected_components
+    lineage = (spark.read.option("basePath", f"{output_dir}/lineage")
+               .parquet(f"{output_dir}/lineage/batch=*"))
+    last = lineage.agg(F.max("batch")).first()[0]
+    comp = _store_at(spark, f"{output_dir}/components", int(last))
+    if comp is not None:
+        return comp.select("node", "component")
+    edges = (spark.read.option("basePath", f"{output_dir}/edges")
+             .parquet(f"{output_dir}/edges/batch=*"))
+    return connected_components(
+        edges.select(F.col("subj").alias("a_id"),
+                     F.col("obj").alias("b_id")))
+
+
 def read_late_turns(spark: SparkSession, output_dir: str) -> Optional[DataFrame]:
     """All turns routed to the late-data correction store (None when the
     store doesn't exist or is empty)."""
@@ -259,19 +328,22 @@ def reconciled_artifacts(spark: SparkSession, output_dir: str, model,
                          entity_dict: DataFrame,
                          patterns: Optional[Sequence] = None) -> dict:
     """Read-time reconciliation of the late-data correction store:
-    {edges, evidence, degrees} DataFrames equal to what the main stores
-    WOULD hold had every late turn arrived on time (the stream==batch
-    equivalence under any timestamp shuffle — pinned in tests).
+    {edges, evidence, degrees, components} DataFrames equal to what the
+    main stores WOULD hold had every late turn arrived on time (the
+    stream==batch equivalence under any timestamp shuffle — pinned in
+    tests).
 
     The fold is O(|late|): late turns are extracted once, their novel
-    edges anti-joined against the edge store, and the degree profile is
-    advanced with ``apply_degree_delta`` — never a full-graph recompute.
+    edges anti-joined against the edge store, the degree profile is
+    advanced with ``apply_degree_delta``, and the component labeling
+    with ``apply_component_delta`` — never a full-graph recompute.
     Folding at read time (instead of mutating the stores) keeps every
     ``batch=N`` directory immutable, so the replay-idempotency contract
     and any consumer snapshots stay valid; a deployment would run this
     as a periodic reconciliation job that MERGEs into the Iceberg tables
     and truncates the correction store."""
-    from palladian_spark.graph import apply_degree_delta
+    from palladian_spark.graph import (apply_component_delta,
+                                       apply_degree_delta)
     from palladian_spark.relations import (
         DEFAULT_PATTERNS, extract_canonical_triples)
 
@@ -280,10 +352,12 @@ def reconciled_artifacts(spark: SparkSession, output_dir: str, model,
              .select("subj", "pred", "obj"))
     evidence = fold_evidence(spark, output_dir)
     degrees = current_degrees(spark, output_dir)
+    components = current_components(spark, output_dir)
 
     late = read_late_turns(spark, output_dir)
     if late is None:
-        return {"edges": edges, "evidence": evidence, "degrees": degrees}
+        return {"edges": edges, "evidence": evidence, "degrees": degrees,
+                "components": components}
 
     patterns = (tuple(patterns) if patterns is not None
                 else tuple(DEFAULT_PATTERNS))
@@ -305,6 +379,9 @@ def reconciled_artifacts(spark: SparkSession, output_dir: str, model,
                                   F.lit("added").alias("status")))
         .select("node", F.col("out_degree").cast("long").alias("out_degree"),
                 F.col("in_degree").cast("long").alias("in_degree")),
+        "components": apply_component_delta(
+            components, novel.select(F.col("subj").alias("a_id"),
+                                     F.col("obj").alias("b_id"))),
     }
     return out
 

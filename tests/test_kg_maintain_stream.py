@@ -6,7 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from palladian_spark.streaming.kg_maintain import (
-    _maintain_batch, current_degrees, fold_evidence,
+    _maintain_batch, current_components, current_degrees, fold_evidence,
     run_streaming_kg_maintenance)
 
 
@@ -39,6 +39,19 @@ def _degree_map(df):
             for r in df.collect()}
 
 
+def _comp_map(df):
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+def _comp_recompute(edges_df):
+    """Oracle: full connected-components recompute over an edge set with
+    subj/obj columns."""
+    from palladian_spark.graph import connected_components
+    return connected_components(
+        edges_df.select(F.col("subj").alias("a_id"),
+                        F.col("obj").alias("b_id")))
+
+
 def test_maintain_batch_kernel(spark, tmp_path):
     out = str(tmp_path / "out")
     t1 = spark.createDataFrame(
@@ -56,6 +69,49 @@ def test_maintain_batch_kernel(spark, tmp_path):
     ev = {(r["subj"], r["obj"]): r["n_obs"]
           for r in fold_evidence(spark, out).collect()}
     assert ev == {("a", "b"): 3, ("b", "c"): 1, ("c", "d"): 1}
+    # component store: a-b-c are one component (min label "a"), c-d joined
+    # it through c, so everything is one component
+    comp = _comp_map(current_components(spark, out))
+    assert comp == {n: "a" for n in "abcd"}
+
+
+def test_maintain_batch_component_merge(spark, tmp_path):
+    """Two disjoint components merged by a later batch's bridge edge —
+    the incremental labeling must equal the full recompute."""
+    out = str(tmp_path / "out")
+    _maintain_batch(spark, spark.createDataFrame(
+        [("a", "p", "b"), ("x", "p", "y")], ["subj", "pred", "obj"]), 0, out)
+    comp = _comp_map(current_components(spark, out))
+    assert comp == {"a": "a", "b": "a", "x": "x", "y": "x"}
+    # bridge batch merges the two components; min label wins globally
+    _maintain_batch(spark, spark.createDataFrame(
+        [("b", "p", "x")], ["subj", "pred", "obj"]), 1, out)
+    comp = _comp_map(current_components(spark, out))
+    assert comp == {n: "a" for n in ("a", "b", "x", "y")}
+    edges = spark.read.option("basePath", f"{out}/edges") \
+        .parquet(f"{out}/edges/batch=*")
+    assert comp == _comp_map(_comp_recompute(edges))
+
+
+def test_component_store_bootstrap_upgrade(spark, tmp_path):
+    """A store written before the component twin existed (simulated by
+    deleting components/) bootstraps from the novel-edge store on the
+    next batch AND on read through current_components."""
+    import shutil
+    out = str(tmp_path / "out")
+    _maintain_batch(spark, spark.createDataFrame(
+        [("a", "p", "b"), ("x", "p", "y")], ["subj", "pred", "obj"]), 0, out)
+    shutil.rmtree(f"{out}/components")
+    # read path: bootstraps from the edge store
+    assert _comp_map(current_components(spark, out)) == \
+        {"a": "a", "b": "a", "x": "x", "y": "x"}
+    # write path: next batch folds its edges into the bootstrapped labels
+    _maintain_batch(spark, spark.createDataFrame(
+        [("y", "p", "z")], ["subj", "pred", "obj"]), 1, out)
+    comp = _comp_map(current_components(spark, out))
+    edges = spark.read.option("basePath", f"{out}/edges") \
+        .parquet(f"{out}/edges/batch=*")
+    assert comp == _comp_map(_comp_recompute(edges))
 
 
 def test_maintain_batch_replay_idempotent(spark, tmp_path):
@@ -65,10 +121,12 @@ def test_maintain_batch_replay_idempotent(spark, tmp_path):
     _maintain_batch(spark, t1, 0, out)
     _maintain_batch(spark, t2, 1, out)
     before = _degree_map(current_degrees(spark, out))
+    comp_before = _comp_map(current_components(spark, out))
     # replay batch 1 (crash-before-checkpoint-commit scenario): stores
     # must end up identical, not doubled
     _maintain_batch(spark, t2, 1, out)
     assert _degree_map(current_degrees(spark, out)) == before
+    assert _comp_map(current_components(spark, out)) == comp_before
     ev = {(r["subj"], r["obj"]): r["n_obs"]
           for r in fold_evidence(spark, out).collect()}
     assert ev == {("a", "b"): 1, ("b", "c"): 1}
@@ -97,6 +155,9 @@ def test_streaming_matches_batch_recompute(spark, workdir):
         spark.read.parquet(in_dir), model, entity_dict)
     assert _degree_map(current_degrees(spark, out_dir)) == \
         _degree_map(kg_degrees(full))
+    # incremental component store == full recompute over everything
+    assert _comp_map(current_components(spark, out_dir)) == \
+        _comp_map(_comp_recompute(full))
     # cumulative folded evidence == full recompute's observation counts
     expect = {(r["subj"], r["pred"], r["obj"]): r["n"]
               for r in full.groupBy("subj", "pred", "obj")
@@ -219,6 +280,11 @@ def test_late_turns_routed_and_reconciled(spark, workdir):
     assert got_ev == expect_ev
     assert rec["edges"].count() == \
         full.select("subj", "pred", "obj").distinct().count()
+    # reconciled components == full recompute over everything
+    assert _comp_map(rec["components"]) == _comp_map(_comp_recompute(full))
+    # main store's components == recompute over the on-time subset only
+    assert _comp_map(current_components(spark, out_dir)) == \
+        _comp_map(_comp_recompute(on_triples))
 
 
 def test_reconciled_artifacts_no_late_store(spark, workdir):
