@@ -327,28 +327,20 @@ def _q_kg_edge_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_conv_id", "last_turn_idx")
 
 
-def _q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle count + local clustering coefficient over the
-    entity CO-MENTION graph (entities asserted together in the same
-    turn's triples, pairwise).  The works_for/located_in KG itself is
-    3-layer (cust→supp→nat) and triangle-free; co-mention closes the
-    cust–nat side, so this is the graph a KG consumer actually runs
-    community/cohesion analytics on.  Degree-ordered wedge join —
-    O(√m) oriented out-degree, see graph.kg_triangles."""
+def _comention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity CO-MENTION edges (u, v): the two entities of each
+    assertion, plus the 2-hop closure through the SHARED entity within
+    the turn (cust—supp + supp—nat ⇒ cust—nat).  A naive per-(conv,
+    turn) all-pairs self-join would also pair entities across the
+    duplicate (conv_id, turn_idx) keys the derived transcripts contain
+    by construction (supp–supp edges from unrelated assertions) — the
+    keyed equi-join below is both the correct semantics and the cheaper
+    plan."""
     from pyspark.storagelevel import StorageLevel
-    from palladian_spark.graph import kg_triangles
     # persist: the triple table feeds three branches (direct pairs +
     # the two closure sides) — without it the NER kernel re-runs per
     # branch
     t = _q_triples(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    # co-mention = the two entities of each assertion, plus the 2-hop
-    # closure through the SHARED entity within the turn (cust—supp +
-    # supp—nat ⇒ cust—nat).  A naive per-(conv, turn) all-pairs
-    # self-join would also pair entities across the duplicate
-    # (conv_id, turn_idx) keys the derived transcripts contain by
-    # construction (supp–supp edges from unrelated assertions) — the
-    # keyed equi-join below is both the correct semantics and the
-    # cheaper plan.
     direct = t.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
     wf = (t.where(F.col("pred") == "works_for")
           .select("conv_id", "turn_idx", F.col("subj").alias("cust"),
@@ -358,7 +350,42 @@ def _q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("obj").alias("nat")))
     closure = (wf.join(li, ["conv_id", "turn_idx", "mid"])
                .select(F.col("cust").alias("u"), F.col("nat").alias("v")))
-    return kg_triangles(direct.union(closure)) \
+    return direct.union(closure)
+
+
+def _q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    entity CO-MENTION graph (entities asserted together in the same
+    turn's triples, pairwise).  The works_for/located_in KG itself is
+    3-layer (cust→supp→nat) and triangle-free; co-mention closes the
+    cust–nat side, so this is the graph a KG consumer actually runs
+    community/cohesion analytics on.  Degree-ordered wedge join —
+    O(√m) oriented out-degree, see graph.kg_triangles."""
+    from palladian_spark.graph import kg_triangles
+    return kg_triangles(_comention_edges(spark, sf_dir)) \
+        .select("node", "degree", "triangles", "clustering")
+
+
+def _q_kg_triangles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental triangle maintenance: a deterministic fifth of the
+    co-mention edges (xxhash64-selected) arrives as the "new batch";
+    the old four-fifths' kg_triangles profile is advanced with
+    graph.apply_triangle_delta — only the batch's wedges are
+    enumerated, the old graph is probed by hash joins on the touched
+    nodes.  The oracle recomputes the full-graph profile directly,
+    pinning the O(|Δ|·deg) path to the recompute (the snapshot-cadence
+    twin of kg_degrees_incremental / dedup_components_incremental)."""
+    from pyspark.storagelevel import StorageLevel
+    from palladian_spark.graph import apply_triangle_delta, kg_triangles
+    canon = (_comention_edges(spark, sf_dir)
+             .select(F.least("u", "v").alias("u"),
+                     F.greatest("u", "v").alias("v"))
+             .where(F.col("u") != F.col("v")).distinct()
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    is_new = F.pmod(F.xxhash64("u", "v"), F.lit(5)) == 0
+    return apply_triangle_delta(
+        kg_triangles(canon.where(~is_new), cache=False),
+        canon.where(~is_new), canon.where(is_new)) \
         .select("node", "degree", "triangles", "clustering")
 
 
@@ -1977,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triple_pr_gate": _q_triple_pr_gate,
         "decontamination_spans": _q_decontamination_spans,
         # --- new round-5 queries (window positions 29-50) -------------
+        "kg_triangles_incremental": _q_kg_triangles_incremental,
         # --- previously driver-green (rounds 1-4) ---------------------
         "kg_as_of": _q_kg_as_of,
         "kg_edges_decayed": _q_kg_edges_decayed,
@@ -2968,7 +2996,7 @@ FROM cf_status GROUP BY lang
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "er_match_pairs": _ER_PAIRS_SQL + """
 SELECT a_id, b_id, round(lev, 6) AS lev_sim, round(dice, 6) AS dice_sim,
        round(0.5 * lev + 0.5 * dice, 6) AS score
@@ -5199,3 +5227,7 @@ SELECT doc_id AS media_id, mt AS media_type,
 FROM b
 """,
     }
+    # the incremental triangle path must equal the full-graph
+    # recompute exactly, so it shares kg_triangles' oracle
+    out["kg_triangles_incremental"] = out["kg_triangles"]
+    return out

@@ -273,3 +273,53 @@ def test_degree_delta_property(spark, old_t, new_t):
     full = {r["node"]: (r["out_degree"], r["in_degree"])
             for r in kg_degrees(new).collect()}
     assert inc == full
+
+
+def _tri_map(df):
+    return {r["node"]: (r["degree"], r["triangles"], r["clustering"])
+            for r in df.collect()}
+
+
+def test_apply_triangle_delta_matches_recompute(spark):
+    from palladian_spark.graph import apply_triangle_delta, kg_triangles
+    # old graph: path 1-2-3-4 plus old edge 2-4 (one old triangle
+    # 2-3-4).  The batch exercises all three cases at once:
+    #   1 novel edge  — 1-3 closes the old wedge 1-2, 2-3;
+    #   2 novel edges — 5-2 and 5-4 close over old 2-4;
+    #   3 novel edges — brand-new triangle 7-8-9.
+    old = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 4)], ["u", "v"])
+    new = spark.createDataFrame(
+        [(1, 3), (5, 2), (5, 4), (7, 8), (8, 9), (7, 9)], ["u", "v"])
+    inc = apply_triangle_delta(kg_triangles(old), old, new)
+    full = kg_triangles(old.unionAll(new))
+    got, want = _tri_map(inc), _tri_map(full)
+    assert got == want
+    assert want[2][1] == 3  # 2 sits in the old, case-1 and case-2 ones
+
+
+def test_apply_triangle_delta_ignores_known_edges(spark):
+    """Re-delivered old edges and duplicates inside the batch are
+    anti-joined / collapsed — the replay-idempotency contract."""
+    from palladian_spark.graph import apply_triangle_delta, kg_triangles
+    old = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["u", "v"])
+    new = spark.createDataFrame(
+        [(2, 1), (3, 1), (1, 4), (4, 1)], ["u", "v"])
+    inc = apply_triangle_delta(kg_triangles(old), old, new)
+    full = kg_triangles(old.unionAll(new))
+    assert _tri_map(inc) == _tri_map(full)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(_EDGE, min_size=1, max_size=16),
+       st.lists(_EDGE, min_size=1, max_size=8))
+def test_triangle_delta_property(spark, old_edges, new_edges):
+    """Incremental triangle profile == full recompute for arbitrary
+    splits (the three cases stay disjoint and exhaustive)."""
+    from palladian_spark.graph import apply_triangle_delta, kg_triangles
+    old_p = spark.createDataFrame(list(set(old_edges)), ["u", "v"])
+    new_p = spark.createDataFrame(list(set(new_edges)), ["u", "v"])
+    inc = apply_triangle_delta(kg_triangles(old_p), old_p, new_p)
+    full = kg_triangles(old_p.unionAll(new_p))
+    assert _tri_map(inc) == _tri_map(full)
