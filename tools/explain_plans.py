@@ -99,6 +99,9 @@ INSPECT = [
     ("kg_type_inference", True),  # seed joins + vote aggs per round
     ("kg_ego", True),            # BFS frontier joins + edge filter
     ("er_stable_ids", False),    # window assigns + overlap agg
+    # round-5: incremental triangle maintenance
+    ("kg_triangles_incremental", True),  # delta wedges probe old graph
+                                         # by hash joins; Arrow NER input
 ]
 
 PY_NODE_RE = re.compile(
