@@ -382,6 +382,10 @@ def _q_kg_triangles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.greatest("u", "v").alias("v"))
              .where(F.col("u") != F.col("v")).distinct()
              .persist(StorageLevel.MEMORY_AND_DISK))
+    # materialize the cache NOW: the delta path scans this edge set from
+    # several branches of one action, and an unpopulated persist would
+    # re-run the NER extraction once per branch
+    canon.count()
     is_new = F.pmod(F.xxhash64("u", "v"), F.lit(5)) == 0
     return apply_triangle_delta(
         kg_triangles(canon.where(~is_new), cache=False),

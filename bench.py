@@ -107,10 +107,10 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # NER kernel as their input because contract queries are
     # self-contained by design; see NOTES.md)
     from pyspark.sql import functions as F
-    from palladian_spark.graph import (hits, kcore, kg_degrees,
-                                       kg_snapshot_diff, kg_triangles,
-                                       label_propagation, modularity,
-                                       pagerank, random_walks,
+    from palladian_spark.graph import (apply_triangle_delta, hits, kcore,
+                                       kg_degrees, kg_snapshot_diff,
+                                       kg_triangles, label_propagation,
+                                       modularity, pagerank, random_walks,
                                        transitive_closure)
     from palladian_spark.operators.kg_training import walk_skipgrams
     t0 = time.time()
@@ -145,6 +145,18 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
                               F.col("obj").alias("dst"))
     warm_init = pagerank(pr_edges, n_iter=3, round_decimals=None).cache()
     warm_init.count()
+    # snapshot-cadence triangle state (built once, outside the timed
+    # lambda — the store a maintenance job would already hold): old =
+    # 4/5 of the canonical co-mention edges, delta = the other fifth
+    tri_canon = (_comention_edges()
+                 .select(F.least("u", "v").alias("u"),
+                         F.greatest("u", "v").alias("v"))
+                 .where(F.col("u") != F.col("v")).distinct().cache())
+    tri_is_new = F.pmod(F.xxhash64("u", "v"), F.lit(5)) == 0
+    tri_old_edges = tri_canon.where(~tri_is_new)
+    tri_delta = tri_canon.where(tri_is_new)
+    tri_old_profile = kg_triangles(tri_old_edges, cache=False).cache()
+    tri_old_profile.count()
 
     for gname, gfn in [
         ("kg_degrees", lambda: kg_degrees(triples)),
@@ -166,6 +178,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         ("kg_pagerank_warm_refresh", lambda: pagerank(
             pr_edges, n_iter=2, init_ranks=warm_init)),
         ("kg_triangles", lambda: kg_triangles(_comention_edges())),
+        # incremental twin: fold the held-out fifth into the cached old
+        # profile — the per-batch cost a maintenance job pays instead
+        # of the full recompute above
+        ("kg_triangles_delta", lambda: apply_triangle_delta(
+            tri_old_profile, tri_old_edges, tri_delta, cache=False)),
         ("kg_hits", lambda: hits(
             triples.select(F.col("subj").alias("src"),
                            F.col("obj").alias("dst")), n_iter=2)),
@@ -199,6 +216,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             best = dt if best is None else min(best, dt)
         extra[f"graph_marginal_{gname}_sec"] = round(best, 3)
     warm_init.unpersist()
+    tri_old_profile.unpersist()
+    tri_canon.unpersist()
     obs.unpersist()
     triples.unpersist()
 

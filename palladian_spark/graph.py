@@ -1438,8 +1438,13 @@ def apply_triangle_delta(old_stats: DataFrame, old_edges: DataFrame,
                             batch can carry a celebrity node, orient by
                             batch degree first as kg_triangles does).
 
-    Per-batch cost is O(|Δ| · avg_degree) — the old graph is only
-    probed by hash joins on the touched nodes, never self-joined.
+    Per-batch cost: TWO broadcast-semi-join scans of the old edge set
+    (never shuffled, never self-joined — with a node-bucketed store
+    they prune to the touched buckets) reduce it to the edges TOUCHING
+    a batch endpoint; every wedge join then runs on that batch-sized
+    slice, O(|Δ| · avg_degree) work.  The batch's endpoint set is
+    broadcast, so a single batch must be micro-batch-sized (the
+    streaming-maintenance contract), not a second graph.
     Output schema and values equal kg_triangles(old ∪ new) exactly
     (clustering recomputed from the merged degrees) — pinned by the
     recompute-equality pytest and the kg_triangles_incremental oracle.
@@ -1454,44 +1459,118 @@ def apply_triangle_delta(old_stats: DataFrame, old_edges: DataFrame,
     e_old = _canon(old_edges, src_col, dst_col)
     if cache:
         e_old = e_old.persist(StorageLevel.MEMORY_AND_DISK)
-    delta = (_canon(new_pairs, src_col, dst_col)
-             .join(e_old, ["u", "v"], "left_anti"))
+    cand = _canon(new_pairs, src_col, dst_col)
+    touched = (cand.select(F.col("u").alias("node"))
+               .unionAll(cand.select(F.col("v").alias("node")))
+               .distinct())
+    # old edges with a touched endpoint — the only part of the old
+    # graph any added triangle can use.  Broadcast semi-joins: the old
+    # edge set streams by once per side, nothing graph-sized shuffles.
+    e_u = e_old.join(F.broadcast(touched.select(F.col("node").alias("u"))),
+                     "u", "left_semi")
+    e_v = e_old.join(F.broadcast(touched.select(F.col("node").alias("v"))),
+                     "v", "left_semi")
+    # both endpoints touched: the case-2 closing edges, and every old
+    # edge a batch candidate could collide with (its endpoints are
+    # touched by definition) — so the novelty anti-join runs against
+    # this batch-sized slice, not the full old set
+    e_both = e_u.join(F.broadcast(touched.select(F.col("node").alias("v"))),
+                      "v", "left_semi")
+    if cache:
+        e_both = e_both.persist(StorageLevel.MEMORY_AND_DISK)
+    delta = cand.join(e_both, ["u", "v"], "left_anti")
     if cache:
         delta = delta.persist(StorageLevel.MEMORY_AND_DISK)
 
-    adj_old = (e_old.select(F.col("u").alias("x"), F.col("v").alias("y"))
-               .unionAll(e_old.select(F.col("v").alias("x"),
-                                      F.col("u").alias("y"))))
+    # (x, y): x is a touched endpoint, (x, y) an old edge — both-touched
+    # edges appear in both directions, singly-touched ones only from
+    # their touched side
+    adj_t = (e_u.select(F.col("u").alias("x"), F.col("v").alias("y"))
+             .unionAll(e_v.select(F.col("v").alias("x"),
+                                  F.col("u").alias("y"))))
+    if cache:
+        adj_t = adj_t.persist(StorageLevel.MEMORY_AND_DISK)
     adj_new = (delta.select(F.col("u").alias("x"), F.col("v").alias("y"))
                .unionAll(delta.select(F.col("v").alias("x"),
                                       F.col("u").alias("y"))))
 
     # case 1: novel (u,v) closed by two old edges through w.  w == v is
     # impossible — (u,w) old and w == v would put (u,v) in the old set,
-    # contradicting the anti-join above.
-    tri1 = (delta
-            .join(adj_old.select(F.col("x").alias("u"),
-                                 F.col("y").alias("w")), "u")
-            .join(adj_old.select(F.col("x").alias("v"),
-                                 F.col("y").alias("w")), ["v", "w"])
-            .select("u", "v", "w"))
-    # case 2: two novel edges sharing center c, closed by old (p,q);
-    # p < q matches the canonical old-edge ordering.
-    tri2 = (adj_new.select(F.col("x").alias("c"), F.col("y").alias("p"))
-            .join(adj_new.select(F.col("x").alias("c"),
-                                 F.col("y").alias("q")), "c")
-            .where(F.col("p") < F.col("q"))
-            .join(e_old.select(F.col("u").alias("p"),
-                               F.col("v").alias("q")), ["p", "q"])
-            .select("c", "p", "q"))
-    # case 3: triangles entirely inside the batch, each found at its
-    # lowest-id corner.
-    tri3 = (delta.select(F.col("u").alias("a"), F.col("v").alias("b"))
-            .join(delta.select(F.col("u").alias("a"),
-                               F.col("v").alias("c")), "a")
-            .where(F.col("b") < F.col("c"))
-            .join(delta.select(F.col("u").alias("b"),
-                               F.col("v").alias("c")), ["b", "c"])
+    # contradicting the anti-join above.  Expand the wedge from the
+    # LOWER-old-degree endpoint (degrees read off adj_t itself — it
+    # holds every old edge at a touched node), so a batch edge incident
+    # to a celebrity costs min(du, dv) wedge rows, not the hub's degree;
+    # the other side is a bounded membership probe on (hi, w).
+    deg_t = adj_t.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    dl = (delta
+          .join(deg_t.select(F.col("x").alias("u"),
+                             F.col("d").alias("du")), "u", "left")
+          .join(deg_t.select(F.col("x").alias("v"),
+                             F.col("d").alias("dv")), "v", "left"))
+    u_lo = (F.struct(F.coalesce("du", F.lit(0)).alias("d"),
+                     F.col("u").alias("n"))
+            < F.struct(F.coalesce("dv", F.lit(0)).alias("d"),
+                       F.col("v").alias("n")))
+    dlh = dl.select(
+        F.when(u_lo, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(u_lo, F.col("v")).otherwise(F.col("u")).alias("hi"))
+    tri1 = (dlh
+            .join(adj_t.select(F.col("x").alias("lo"),
+                               F.col("y").alias("w")), "lo")
+            .join(adj_t.select(F.col("x").alias("hi"),
+                               F.col("y").alias("w")), ["hi", "w"])
+            .select(F.col("lo").alias("u"), F.col("hi").alias("v"), "w"))
+    # case 2: two novel edges (c,p), (c,q) sharing center c, closed by
+    # old (p,q).  Enumerated from the OLD closing edge, expanding from
+    # its lower-BATCH-degree endpoint — a center with thousands of novel
+    # edges (a celebrity in the batch) would cost dΔ(c)² as a wedge
+    # self-join but only Σ min(dΔ(p), dΔ(q)) this way.
+    deg_n = adj_new.groupBy("x").agg(F.count(F.lit(1)).alias("dn"))
+    eb = (e_both
+          .join(deg_n.select(F.col("x").alias("u"),
+                             F.col("dn").alias("du_n")), "u", "left")
+          .join(deg_n.select(F.col("x").alias("v"),
+                             F.col("dn").alias("dv_n")), "v", "left"))
+    u_lo2 = (F.struct(F.coalesce("du_n", F.lit(0)).alias("d"),
+                      F.col("u").alias("n"))
+             < F.struct(F.coalesce("dv_n", F.lit(0)).alias("d"),
+                        F.col("v").alias("n")))
+    eb2 = eb.select(
+        F.when(u_lo2, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(u_lo2, F.col("v")).otherwise(F.col("u")).alias("hi"))
+    # c == hi is impossible: (lo, c) novel with c == hi would put the
+    # old edge (lo, hi) in the batch, contradicting the anti-join
+    tri2 = (eb2
+            .join(adj_new.select(F.col("x").alias("lo"),
+                                 F.col("y").alias("c")), "lo")
+            .join(adj_new.select(F.col("x").alias("hi"),
+                                 F.col("y").alias("c")), ["hi", "c"])
+            .select("c", F.col("lo").alias("p"), F.col("hi").alias("q")))
+    # case 3: triangles entirely inside the batch — the same
+    # degree-ordered orientation kg_triangles uses, so a batch celebrity
+    # keeps O(√|Δ|) oriented out-degree
+    d3 = (delta
+          .join(deg_n.select(F.col("x").alias("u"),
+                             F.col("dn").alias("du_n")), "u")
+          .join(deg_n.select(F.col("x").alias("v"),
+                             F.col("dn").alias("dv_n")), "v"))
+    u_lo3 = (F.struct(F.col("du_n").alias("d"), F.col("u").alias("n"))
+             < F.struct(F.col("dv_n").alias("d"), F.col("v").alias("n")))
+    eo3 = d3.select(
+        F.when(u_lo3, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_lo3, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_lo3, F.col("dv_n")).otherwise(F.col("du_n")).alias("dd"))
+    o1, o2 = eo3.alias("o1"), eo3.alias("o2")
+    tri3 = (o1.join(o2, (F.col("o1.src") == F.col("o2.src"))
+                    & (F.struct(F.col("o1.dd").alias("d"),
+                                F.col("o1.dst").alias("n"))
+                       < F.struct(F.col("o2.dd").alias("d"),
+                                  F.col("o2.dst").alias("n"))))
+            .select(F.col("o1.src").alias("a"),
+                    F.col("o1.dst").alias("b"),
+                    F.col("o2.dst").alias("c"))
+            .join(eo3.select(F.col("src").alias("b"),
+                             F.col("dst").alias("c")), ["b", "c"])
             .select("a", "b", "c"))
 
     corners = (tri1.select(F.explode(F.array("u", "v", "w")).alias("node"))
